@@ -1,0 +1,52 @@
+"""Half-pel motion compensation — numpy golden model.
+
+MPEG-2 prediction arithmetic (spec 7.6.4; reference scalar kernels:
+src/core/mc_c.hpp:3-54): integer part of the half-pel vector offsets the
+window; the two fractional bits select between copy / horizontal /
+vertical / 4-tap bilinear averaging, each stage rounding with ``+1 >> 1``;
+bidirectional prediction averages the two single-direction predictions with
+the same rounding.
+
+Out-of-picture samples are edge-clamped; conforming streams never reference
+outside the picture, and clamping keeps host and device paths identical on
+malformed input.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def mc_window(plane: np.ndarray, y0: int, x0: int, mvx: int, mvy: int,
+              h: int, w: int) -> np.ndarray:
+    """Unidirectional half-pel prediction of an (h, w) block whose top-left
+    is (y0, x0) in *destination* coordinates, from ``plane``."""
+    iy = y0 + (mvy >> 1)
+    ix = x0 + (mvx >> 1)
+    hy = mvy & 1
+    hx = mvx & 1
+    ys = np.clip(np.arange(iy, iy + h + 1), 0, plane.shape[0] - 1)
+    xs = np.clip(np.arange(ix, ix + w + 1), 0, plane.shape[1] - 1)
+    win = plane[np.ix_(ys, xs)].astype(np.uint16)
+    a = win[:h, :w]
+    if hx and hy:
+        b, c, d = win[:h, 1:w + 1], win[1:h + 1, :w], win[1:h + 1, 1:w + 1]
+        return ((((a + b + 1) >> 1) + ((c + d + 1) >> 1) + 1) >> 1).astype(np.uint8)
+    if hx:
+        return ((a + win[:h, 1:w + 1] + 1) >> 1).astype(np.uint8)
+    if hy:
+        return ((a + win[1:h + 1, :w] + 1) >> 1).astype(np.uint8)
+    return a.astype(np.uint8)
+
+
+def mc_bidir(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+    return ((p0.astype(np.uint16) + p1.astype(np.uint16) + 1) >> 1).astype(np.uint8)
+
+
+def chroma_mv(mvx: int, mvy: int, chroma_format: int):
+    """Chroma motion vector derivation (spec 7.6.3.7; arithmetic shift as in
+    reference mb_decoder.cpp:198-206)."""
+    if chroma_format < 3:
+        mvx = mvx >> 1
+    if chroma_format < 2:
+        mvy = mvy >> 1
+    return mvx, mvy
