@@ -88,8 +88,10 @@ def test_p_motion_shift():
         ppic.slices.append(sl)
     data = encode_stream(64, 32, H.CHROMA_420, [ipic, ppic])
     f0, f1 = decode_stream(data)
-    # mv = +4 half-pel = +2 px: prediction reads ref at x+2
-    np.testing.assert_array_equal(f1.y[:, :-2], f0.y[:, 2:])
+    # mv = +4 half-pel = +2 px: prediction reads ref at x+2.  The last MB
+    # column's window leaves the picture (illegal MV -> clamped), so compare
+    # only where the source window is fully inside.
+    np.testing.assert_array_equal(f1.y[:, :46], f0.y[:, 2:48])
 
 
 def test_b_reorder_display_order():

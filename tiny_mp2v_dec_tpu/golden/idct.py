@@ -33,9 +33,10 @@ def _mulc(x, coeff, xp):
     return (((x.astype(xp.int32)) * coeff) >> 16).astype(xp.int16)
 
 
-def idct_1d(blocks, xp=np):
-    """One butterfly pass along axis -2 of an (..., 8, N) int16 array."""
-    s = [blocks[..., k, :] for k in range(8)]
+def butterfly8(s, xp=np):
+    """The 8-point fixed-point butterfly on a list of 8 equal-shape int16
+    arrays; returns the 8 transformed outputs.  Shared by the numpy golden
+    path, the jnp path, and the Pallas kernel."""
     v15 = _mulc(s[0], C0, xp)
     v26 = _mulc(s[1], C1, xp)
     v21 = _mulc(s[2], C2, xp)
@@ -59,19 +60,24 @@ def idct_1d(blocks, xp=np):
     v18 = _mulc(v19 - v20, S4, xp)
     v12 = v18 - _mulc(v19, S3, xp)
     v14 = _mulc(v20, S1, xp) - v18
-    v6 = ((v14.astype(xp.int16) << 1) - v7).astype(xp.int16)
+    # doubling via self-add (int16 << is not legalizable on the TPU VPU)
+    v6 = ((v14 + v14) - v7).astype(xp.int16)
     v5 = _mulc(v13, SQ, xp) - v6
-    v4 = v5 + (v12.astype(xp.int16) << 1).astype(xp.int16)
+    v4 = (v5 + (v12 + v12)).astype(xp.int16)
     v10 = _mulc(v17, SQ, xp) - v11
     v0 = v8 + v11
     v1 = v9 + v10
     v2 = v9 - v10
     v3 = v8 - v11
 
-    return xp.stack([
-        v0 + v7, v1 + v6, v2 + v5, v3 - v4,
-        v3 + v4, v2 - v5, v1 - v6, v0 - v7,
-    ], axis=-2).astype(xp.int16)
+    return [v0 + v7, v1 + v6, v2 + v5, v3 - v4,
+            v3 + v4, v2 - v5, v1 - v6, v0 - v7]
+
+
+def idct_1d(blocks, xp=np):
+    """One butterfly pass along axis -2 of an (..., 8, N) int16 array."""
+    out = butterfly8([blocks[..., k, :] for k in range(8)], xp)
+    return xp.stack(out, axis=-2).astype(xp.int16)
 
 
 def idct_blocks(coeffs, xp=np):

@@ -7,26 +7,32 @@ vertical / 4-tap bilinear averaging, each stage rounding with ``+1 >> 1``;
 bidirectional prediction averages the two single-direction predictions with
 the same rounding.
 
-Out-of-picture samples are edge-clamped; conforming streams never reference
-outside the picture, and clamping keeps host and device paths identical on
-malformed input.
+MC reads an (h+1, w+1) window from the reference plane *zero-padded by one
+row/column at bottom and right* (the padding is only touched by the unused
+half-pel taps at the picture edge).  The window origin is clamped into the
+padded plane — the exact semantics of XLA's ``lax.dynamic_slice`` — so host
+and device paths stay bit-identical even on malformed streams; conforming
+streams never reference outside the picture.
 """
 from __future__ import annotations
 
 import numpy as np
 
 
-def mc_window(plane: np.ndarray, y0: int, x0: int, mvx: int, mvy: int,
+def pad_for_mc(plane: np.ndarray) -> np.ndarray:
+    """Zero-pad one row/col at bottom/right for the half-pel window reads."""
+    return np.pad(plane, ((0, 1), (0, 1)))
+
+
+def mc_window(padded: np.ndarray, y0: int, x0: int, mvx: int, mvy: int,
               h: int, w: int) -> np.ndarray:
     """Unidirectional half-pel prediction of an (h, w) block whose top-left
-    is (y0, x0) in *destination* coordinates, from ``plane``."""
-    iy = y0 + (mvy >> 1)
-    ix = x0 + (mvx >> 1)
+    is (y0, x0) in *destination* coordinates, from a ``pad_for_mc`` plane."""
+    iy = min(max(y0 + (mvy >> 1), 0), padded.shape[0] - (h + 1))
+    ix = min(max(x0 + (mvx >> 1), 0), padded.shape[1] - (w + 1))
     hy = mvy & 1
     hx = mvx & 1
-    ys = np.clip(np.arange(iy, iy + h + 1), 0, plane.shape[0] - 1)
-    xs = np.clip(np.arange(ix, ix + w + 1), 0, plane.shape[1] - 1)
-    win = plane[np.ix_(ys, xs)].astype(np.uint16)
+    win = padded[iy:iy + h + 1, ix:ix + w + 1].astype(np.uint16)
     a = win[:h, :w]
     if hx and hy:
         b, c, d = win[:h, 1:w + 1], win[1:h + 1, :w], win[1:h + 1, 1:w + 1]

@@ -12,7 +12,7 @@ import numpy as np
 from ..headers import CHROMA_420, CHROMA_422, CHROMA_444
 from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureTokens
 from .idct import idct_blocks
-from .mc import chroma_mv, mc_bidir, mc_window
+from .mc import chroma_mv, mc_bidir, mc_window, pad_for_mc
 
 
 def zero_planes(geom: PictureGeometry):
@@ -38,22 +38,28 @@ def _assemble_tile(blocks, rows: int, cols: int, interleave: bool) -> np.ndarray
     return out
 
 
-def _pred_block(ref_planes, comp, y0, x0, mv, cf, h, w):
+def _pred_block(padded_planes, comp, y0, x0, mv, cf, h, w):
     mvx, mvy = int(mv[0]), int(mv[1])
     if comp > 0:
         mvx, mvy = chroma_mv(mvx, mvy, cf)
-    return mc_window(ref_planes[comp], y0, x0, mvx, mvy, h, w)
+    return mc_window(padded_planes[comp], y0, x0, mvx, mvy, h, w)
 
 
-def _pred_block_field(ref_planes, comp, y0, x0, mv, cf, h, w, dst_field, src_field):
+def _pred_block_field(padded_fields, comp, y0, x0, mv, cf, h, w, src_field):
     """Field-based prediction inside a frame picture: operate on the
     de-interlaced field views (equivalent to the reference's doubled-stride
     field kernels, mb_decoder.cpp:212-289)."""
     mvx, mvy = int(mv[0]), int(mv[1])
     if comp > 0:
         mvx, mvy = chroma_mv(mvx, mvy, cf)
-    field_view = ref_planes[comp][src_field::2]
-    return mc_window(field_view, y0 // 2, x0, mvx, mvy, h // 2, w)
+    return mc_window(padded_fields[comp][src_field], y0 // 2, x0, mvx, mvy,
+                     h // 2, w)
+
+
+def _pad_refs(planes):
+    full = tuple(pad_for_mc(p) for p in planes)
+    fields = tuple((pad_for_mc(p[0::2]), pad_for_mc(p[1::2])) for p in planes)
+    return full, fields
 
 
 def reconstruct_picture(tokens: PictureTokens,
@@ -72,6 +78,8 @@ def reconstruct_picture(tokens: PictureTokens,
         ref0 = zero_planes(geom)
     if ref1 is None:
         ref1 = zero_planes(geom)
+    ref0_full, ref0_fields = _pad_refs(ref0)
+    ref1_full, ref1_fields = _pad_refs(ref1)
 
     # batched fixed-point IDCT over every block of the picture
     residual = idct_blocks(tokens.coeff)  # (n_mb, n_blk, 8, 8) int16
@@ -101,9 +109,9 @@ def reconstruct_picture(tokens: PictureTokens,
             if not tokens.field_pred[m]:
                 mv_sets = []
                 if fwd:
-                    mv_sets.append((ref0, tokens.mv[m, 0, 0]))
+                    mv_sets.append((ref0_full, tokens.mv[m, 0, 0]))
                 if bwd:
-                    mv_sets.append((ref1, tokens.mv[m, 0, 1]))
+                    mv_sets.append((ref1_full, tokens.mv[m, 0, 1]))
                 for comp, y0, x0, h, w in geom_blocks:
                     ps = [_pred_block(refp, comp, y0, x0, mv, cf, h, w)
                           for refp, mv in mv_sets]
@@ -115,13 +123,13 @@ def reconstruct_picture(tokens: PictureTokens,
                     for r in range(2):
                         mv_sets = []
                         if fwd:
-                            mv_sets.append((ref0, tokens.mv[m, r, 0],
+                            mv_sets.append((ref0_fields, tokens.mv[m, r, 0],
                                             int(tokens.mvfs[m, r, 0])))
                         if bwd:
-                            mv_sets.append((ref1, tokens.mv[m, r, 1],
+                            mv_sets.append((ref1_fields, tokens.mv[m, r, 1],
                                             int(tokens.mvfs[m, r, 1])))
                         ps = [_pred_block_field(refp, comp, y0, x0, mv, cf,
-                                                h, w, r, sf)
+                                                h, w, sf)
                               for refp, mv, sf in mv_sets]
                         tile[r::2] = ps[0] if len(ps) == 1 else mc_bidir(*ps)
                     preds.append(tile)
