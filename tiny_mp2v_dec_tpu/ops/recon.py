@@ -53,6 +53,35 @@ def _scale_mv(mv, comp, cf):
     return jnp.stack([mvx, mvy], axis=-1)
 
 
+# Packed per-MB metadata layout (single int16 upload instead of 7 small
+# transfers — device<->host round trips are expensive, especially through
+# remote-TPU tunnels): columns [dct, fwd, bwd, field_pred, coded, mv(8),
+# mvfs(4)].
+META_COLS = 17
+_M_DCT, _M_FWD, _M_BWD, _M_FIELD, _M_CODED, _M_MV, _M_MVFS = 0, 1, 2, 3, 4, 5, 13
+
+
+def pack_meta(tokens: PictureTokens, out: np.ndarray | None = None) -> np.ndarray:
+    n = tokens.geom.n_mb
+    meta = out if out is not None else np.zeros((n, META_COLS), np.int16)
+    meta[:, _M_DCT] = tokens.dct_type
+    meta[:, _M_FWD] = tokens.fwd
+    meta[:, _M_BWD] = tokens.bwd
+    meta[:, _M_FIELD] = tokens.field_pred
+    meta[:, _M_CODED] = tokens.coded
+    meta[:, _M_MV:_M_MV + 8] = tokens.mv.reshape(n, 8)
+    meta[:, _M_MVFS:_M_MVFS + 4] = tokens.mvfs.reshape(n, 4)
+    return meta
+
+
+def _unpack_meta(meta):
+    n = meta.shape[0]
+    return (meta[:, _M_DCT] != 0, meta[:, _M_FWD] != 0, meta[:, _M_BWD] != 0,
+            meta[:, _M_FIELD] != 0, meta[:, _M_CODED] != 0,
+            meta[:, _M_MV:_M_MV + 8].reshape(n, 2, 2, 2),
+            meta[:, _M_MVFS:_M_MVFS + 4].reshape(n, 2, 2).astype(jnp.uint8))
+
+
 class DeviceRecon:
     """Per-geometry compiled reconstruction step.
 
@@ -78,6 +107,14 @@ class DeviceRecon:
                 jnp.asarray((mb_x * 16) >> xs, jnp.int32)),
         }
         self._fn = jax.jit(self._recon)
+        self._fn_packed = jax.jit(self._recon_packed)
+        self._zero_refs = None
+        # Persistent host staging buffers: uploading from freshly allocated
+        # numpy memory pays a large per-buffer registration cost on remote
+        # TPU transports; reusing pinned staging memory makes h2d cheap.
+        # Double-buffered so a staging write never races an in-flight copy.
+        self._stage = [None, None]
+        self._stage_idx = 0
 
     # ------------------------------------------------------------------
     def _pred_component(self, comp, padded0, padded1, fields0, fields1,
@@ -157,18 +194,140 @@ class DeviceRecon:
             planes.append(_plane_from_tiles(tile, mbh, mbw, h, w))
         return tuple(planes)
 
-    # ------------------------------------------------------------------
-    def __call__(self, tokens: PictureTokens, ref0=None, ref1=None):
+    def _recon_packed(self, coeff, meta, r0y, r0u, r0v, r1y, r1u, r1v):
+        """Packed-interface recon: one int16 metadata array in, and an extra
+        flat uint8 output holding the three cropped planes concatenated —
+        one host upload and one host download per picture."""
+        dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(meta)
+        y, u, v = self._recon(coeff, dct_type, fwd, bwd, field_pred, coded,
+                              mv, mvfs, r0y, r0u, r0v, r1y, r1u, r1v)
         geom = self.geom
+        xs, ys, _ = CHROMA_INFO[geom.chroma_format]
+        cw = (geom.width + (1 << xs) - 1) >> xs
+        ch = (geom.height + (1 << ys) - 1) >> ys
+        packed = jnp.concatenate([
+            y[:geom.height, :geom.width].reshape(-1),
+            u[:ch, :cw].reshape(-1), v[:ch, :cw].reshape(-1)])
+        return y, u, v, packed
+
+    # ------------------------------------------------------------------
+    def zero_planes(self):
+        if self._zero_refs is None:
+            g = self.geom
+            self._zero_refs = tuple(
+                jnp.zeros(s, jnp.uint8) for s in
+                (g.luma_padded, g.chroma_padded, g.chroma_padded))
+        return self._zero_refs
+
+    def __call__(self, tokens: PictureTokens, ref0=None, ref1=None):
+        y, u, v, _ = self.call_packed(tokens, ref0, ref1)
+        return y, u, v
+
+    def _upload(self, tokens: PictureTokens):
+        idx = self._stage_idx
+        self._stage_idx ^= 1
+        if self._stage[idx] is None:
+            g = self.geom
+            self._stage[idx] = (
+                np.zeros((g.n_mb, g.blocks_per_mb, 64), np.int16),
+                np.zeros((g.n_mb, META_COLS), np.int16))
+        sc, sm = self._stage[idx]
+        np.copyto(sc, tokens.coeff)
+        pack_meta(tokens, out=sm)
+        return jnp.asarray(sc), jnp.asarray(sm)
+
+    def call_packed(self, tokens: PictureTokens, ref0=None, ref1=None):
+        """Returns (y, u, v, packed_output); planes stay on device for use
+        as references, packed_output is the single-transfer host payload."""
         if ref0 is None:
-            ref0 = tuple(jnp.zeros(s, jnp.uint8) for s in
-                         (geom.luma_padded, geom.chroma_padded, geom.chroma_padded))
+            ref0 = self.zero_planes()
         if ref1 is None:
-            ref1 = tuple(jnp.zeros(s, jnp.uint8) for s in
-                         (geom.luma_padded, geom.chroma_padded, geom.chroma_padded))
-        return self._fn(
-            jnp.asarray(tokens.coeff), jnp.asarray(tokens.dct_type),
-            jnp.asarray(tokens.fwd), jnp.asarray(tokens.bwd),
-            jnp.asarray(tokens.field_pred), jnp.asarray(tokens.coded),
-            jnp.asarray(tokens.mv), jnp.asarray(tokens.mvfs),
-            *ref0, *ref1)
+            ref1 = self.zero_planes()
+        coeff, meta = self._upload(tokens)
+        return self._fn_packed(coeff, meta, *ref0, *ref1)
+
+
+class GopRecon:
+    """A chunk of pictures decoded in ONE XLA program: ``lax.scan`` over
+    pictures with the two reference planes as carry, I/P/B reference
+    selection and reference-list update expressed as data (per-step selects).
+
+    This is the TPU-native analog of the reference's picture-pipeline
+    parallelism (reference: threads.cpp picture ring): instead of
+    overlapping pictures across worker threads, the whole dependency chain
+    becomes one compiled program — one host->device upload and one packed
+    device->host download per chunk, with XLA pipelining every step.
+    """
+
+    def __init__(self, geom: PictureGeometry, chunk: int,
+                 field_support: bool = False,
+                 use_pallas_idct: bool | None = None):
+        self.geom = geom
+        self.chunk = chunk
+        self.inner = DeviceRecon(geom, field_support=field_support,
+                                 use_pallas_idct=use_pallas_idct)
+        self._fn = jax.jit(self._gop)
+        self._stage = None
+
+    def _gop(self, coeff, meta, is_b, is_ip, r0y, r0u, r0v, r1y, r1u, r1v):
+        inner = self.inner
+        geom = self.geom
+        xs_, ys_, _ = CHROMA_INFO[geom.chroma_format]
+        cw = (geom.width + (1 << xs_) - 1) >> xs_
+        ch = (geom.height + (1 << ys_) - 1) >> ys_
+
+        def step(carry, xs):
+            r0, r1 = carry
+            c, m, b_flag, ip_flag = xs
+            dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(m)
+            # B pictures predict from (older, newer); I/P from (newer, -)
+            ref0u = tuple(jnp.where(b_flag, a, b) for a, b in zip(r0, r1))
+            out = inner._recon(c, dct_type, fwd, bwd, field_pred, coded, mv,
+                               mvfs, *ref0u, *r1)
+            packed = jnp.concatenate([
+                out[0][:geom.height, :geom.width].reshape(-1),
+                out[1][:ch, :cw].reshape(-1), out[2][:ch, :cw].reshape(-1)])
+            # reference-list update (reference: decoder.cpp:299-304)
+            new_r0 = tuple(jnp.where(ip_flag, b, a) for a, b in zip(r0, r1))
+            new_r1 = tuple(jnp.where(ip_flag, o, b) for o, b in zip(out, r1))
+            return (new_r0, new_r1), packed
+
+        (r0, r1), packs = jax.lax.scan(
+            step, ((r0y, r0u, r0v), (r1y, r1u, r1v)),
+            (coeff, meta, is_b, is_ip))
+        return (*r0, *r1, packs)
+
+    def _staging(self):
+        if self._stage is None:
+            g = self.geom
+            self._stage = (
+                np.zeros((self.chunk, g.n_mb, g.blocks_per_mb, 64), np.int16),
+                np.zeros((self.chunk, g.n_mb, META_COLS), np.int16))
+        return self._stage
+
+    def __call__(self, tokens_list, pct_list, ref0=None, ref1=None):
+        """tokens_list: up to ``chunk`` PictureTokens (padded internally with
+        no-op pictures); pct_list: picture_coding_type per picture.
+        Returns (ref0, ref1, packed (chunk, frame_bytes)) — caller takes
+        packed[:len(tokens_list)]."""
+        t = len(tokens_list)
+        assert 0 < t <= self.chunk
+        sc, sm = self._staging()
+        if t < self.chunk:
+            sc[t:] = 0
+            sm[t:] = 0
+        for i, tok in enumerate(tokens_list):
+            np.copyto(sc[i], tok.coeff)
+            pack_meta(tok, out=sm[i])
+        is_b = np.zeros(self.chunk, bool)
+        is_b[:t] = [p == 3 for p in pct_list]
+        is_b[t:] = True  # padding steps must not touch the reference list
+        is_ip = ~is_b
+        if ref0 is None:
+            ref0 = self.inner.zero_planes()
+        if ref1 is None:
+            ref1 = self.inner.zero_planes()
+        out = self._fn(jnp.asarray(sc), jnp.asarray(sm), jnp.asarray(is_b),
+                       jnp.asarray(is_ip), *ref0, *ref1)
+        r0, r1, packs = out[0:3], out[3:6], out[6]
+        return r0, r1, packs

@@ -27,13 +27,76 @@ from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureParams, Pictu
 
 @dataclass
 class DecoderConfig:
-    """Mirrors the reference's decoder_config_t (decoder.h:25-32)."""
+    """Mirrors the reference's decoder_config_t (decoder.h:25-32) plus the
+    TPU batching knob."""
     width: int = 0                # 0 = take from the sequence header
     height: int = 0
     chroma_format: int = 0
     pictures_pool_size: int = 10
     num_threads: int = 0          # 0 = auto (native tokenizer threads)
     reordering: bool = True
+    # >0: decode pictures in chunks of this size as ONE device program
+    # (lax.scan over the GOP) — max throughput; 0: picture-at-a-time (min
+    # latency).
+    gop_chunk: int = 0
+    # False: deliver frames as device-resident LazyFrame objects (planes
+    # pulled to host only on attribute access) — the mode for TPU-side
+    # consumers and for throughput measurement (the reference's README
+    # likewise advises timing with file output off, README.md:48).
+    output_host: bool = True
+
+
+class LazyFrame:
+    """A decoded frame whose planes live on device until first access."""
+
+    def __init__(self, packed, index, geom: PictureGeometry,
+                 temporal_reference: int, picture_coding_type: int,
+                 shared=None):
+        self._packed = packed      # device array (chunk, bytes) or (bytes,)
+        self._index = index        # row within a chunk, or None
+        self._geom = geom
+        self._host = None
+        # frames of one decoded chunk share a single device->host transfer
+        self._shared = shared if shared is not None else [None]
+        self.temporal_reference = temporal_reference
+        self.picture_coding_type = picture_coding_type
+
+    def device_buffer(self):
+        return self._packed
+
+    def _flat(self):
+        if self._host is None:
+            if self._shared[0] is None:
+                self._shared[0] = np.asarray(self._packed)
+            arr = self._shared[0]
+            self._host = arr if self._index is None else arr[self._index]
+        return self._host
+
+    @property
+    def y(self):
+        g = self._geom
+        return self._flat()[:g.height * g.width].reshape(g.height, g.width)
+
+    def _chroma(self, second):
+        g = self._geom
+        xs, ys, _ = CHROMA_INFO[g.chroma_format]
+        cw = (g.width + (1 << xs) - 1) >> xs
+        ch = (g.height + (1 << ys) - 1) >> ys
+        ny = g.height * g.width
+        nc = ch * cw
+        off = ny + (nc if second else 0)
+        return self._flat()[off:off + nc].reshape(ch, cw)
+
+    @property
+    def u(self):
+        return self._chroma(False)
+
+    @property
+    def v(self):
+        return self._chroma(True)
+
+    def tobytes(self) -> bytes:
+        return self.y.tobytes() + self.u.tobytes() + self.v.tobytes()
 
 
 class MP2VDecoder:
@@ -58,6 +121,8 @@ class MP2VDecoder:
         self.gop = None
         self._refs = [None, None]      # device plane tuples, decode order
         self._reorder_slot = None
+        self._out_fifo = []            # pending frames with in-flight copies
+        self._chunk: List[tuple] = []  # (tokens, geom, ph) awaiting batch
         self._frames: List[DecodedFrame] = []
         self.stats = {"pictures": 0, "tokenize_s": 0.0, "device_s": 0.0,
                       "output_s": 0.0}
@@ -69,24 +134,42 @@ class MP2VDecoder:
             self._recons[key] = DeviceRecon(geom, field_support=field_support)
         return self._recons[key]
 
-    def _emit(self, frame: DecodedFrame) -> None:
-        if self.renderer is not None:
-            self.renderer(frame)
-        self._frames.append(frame)
+    def _gop_recon_for(self, geom: PictureGeometry, field_support: bool):
+        from ..ops.recon import GopRecon
+        key = (geom, field_support, "gop")
+        if key not in self._recons:
+            self._recons[key] = GopRecon(geom, self.config.gop_chunk,
+                                         field_support=field_support)
+        return self._recons[key]
 
-    def _crop_to_host(self, planes, geom: PictureGeometry,
-                      ph: H.PictureHeader) -> DecodedFrame:
-        xs, ys, _ = CHROMA_INFO[geom.chroma_format]
-        cw = (geom.width + (1 << xs) - 1) >> xs
-        ch = (geom.height + (1 << ys) - 1) >> ys
-        t0 = time.perf_counter()
-        y = np.asarray(planes[0][:geom.height, :geom.width])
-        u = np.asarray(planes[1][:ch, :cw])
-        v = np.asarray(planes[2][:ch, :cw])
-        self.stats["output_s"] += time.perf_counter() - t0
-        return DecodedFrame(y=y, u=u, v=v,
-                            temporal_reference=ph.temporal_reference,
-                            picture_coding_type=ph.picture_coding_type)
+    def _emit(self, pending) -> None:
+        """Queue a decoded picture (its device->host copy is already in
+        flight); materialization is deferred one picture so the transfer
+        overlaps the next picture's decode."""
+        self._out_fifo.append(pending)
+
+    def _drain(self, keep_last: bool) -> None:
+        keep = 1 if keep_last else 0
+        while len(self._out_fifo) > keep:
+            frame = self._out_fifo.pop(0)
+            if self.config.output_host:
+                t0 = time.perf_counter()
+                frame._flat()
+                self.stats["output_s"] += time.perf_counter() - t0
+            if self.renderer is not None:
+                self.renderer(frame)
+            self._frames.append(frame)
+
+    def _make_pending(self, packed, geom: PictureGeometry,
+                      ph: H.PictureHeader) -> LazyFrame:
+        """Start the (single, packed) device->host copy and wrap it."""
+        if self.config.output_host:
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+        return LazyFrame(packed, None, geom, ph.temporal_reference,
+                         ph.picture_coding_type)
 
     # ------------------------------------------------------------------
     def decode(self, data: bytes) -> List[DecodedFrame]:
@@ -136,9 +219,49 @@ class MP2VDecoder:
         return self._frames
 
     def flush(self) -> None:
+        self._flush_chunk()
         if self._reorder_slot is not None:
             self._emit(self._reorder_slot)
             self._reorder_slot = None
+        self._drain(keep_last=False)
+
+    def _route_frame(self, pending, pct: int) -> None:
+        """Display reordering (reference: decoder.cpp:346-379)."""
+        if pct in (H.PCT_I, H.PCT_P) and self.config.reordering:
+            if self._reorder_slot is not None:
+                self._emit(self._reorder_slot)
+            self._reorder_slot = pending
+        else:
+            self._emit(pending)
+
+    def _flush_chunk(self) -> None:
+        if not self._chunk:
+            return
+        batch, self._chunk = self._chunk, []
+        geom = batch[0][1]
+        tokens_list = [b[0] for b in batch]
+        pcts = [b[2].picture_coding_type for b in batch]
+        field = any(bool(t.field_pred.any()) for t in tokens_list)
+        recon = self._gop_recon_for(geom, field)
+        t0 = time.perf_counter()
+        r0, r1, packs = recon(tokens_list, pcts,
+                              self._refs[0], self._refs[1])
+        self._refs = [r0, r1]
+        self.stats["device_s"] += time.perf_counter() - t0
+
+        if self.config.output_host:
+            try:
+                packs.copy_to_host_async()
+            except AttributeError:
+                pass
+        # frames of one chunk share the packed device buffer (and its single
+        # host transfer, cached on first access)
+        shared_host: list = [None]
+        for i, (_, _, ph) in enumerate(batch):
+            lf = LazyFrame(packs, i, geom, ph.temporal_reference,
+                           ph.picture_coding_type, shared=shared_host)
+            self._route_frame(lf, ph.picture_coding_type)
+        self._drain(keep_last=True)
 
     # ------------------------------------------------------------------
     def _decode_picture(self, data: bytes, cur) -> None:
@@ -169,6 +292,16 @@ class MP2VDecoder:
         t0 = time.perf_counter()
         tokens = self.tokenize_picture(data, cur["slices"], params, geom)
         t1 = time.perf_counter()
+        self.stats["pictures"] += 1
+        self.stats["tokenize_s"] += t1 - t0
+
+        if self.config.gop_chunk > 0:
+            if self._chunk and self._chunk[0][1] != geom:
+                self._flush_chunk()
+            self._chunk.append((tokens, geom, ph))
+            if len(self._chunk) >= self.config.gop_chunk:
+                self._flush_chunk()
+            return
 
         field_support = bool(tokens.field_pred.any())
         recon = self._recon_for(geom, field_support)
@@ -176,20 +309,13 @@ class MP2VDecoder:
             ref0, ref1 = self._refs[1], None
         else:
             ref0, ref1 = self._refs[0], self._refs[1]
-        planes = recon(tokens, ref0, ref1)
+        y, u, v, packed = recon.call_packed(tokens, ref0, ref1)
         t2 = time.perf_counter()
-        self.stats["pictures"] += 1
-        self.stats["tokenize_s"] += t1 - t0
         self.stats["device_s"] += t2 - t1
 
-        frame = self._crop_to_host(planes, geom, ph)
+        pending = self._make_pending(packed, geom, ph)
         if ph.picture_coding_type in (H.PCT_I, H.PCT_P):
-            self._refs = [self._refs[1], planes]
-            if self.config.reordering:
-                if self._reorder_slot is not None:
-                    self._emit(self._reorder_slot)
-                self._reorder_slot = frame
-            else:
-                self._emit(frame)
-        else:
-            self._emit(frame)
+            self._refs = [self._refs[1], (y, u, v)]
+        self._route_frame(pending, ph.picture_coding_type)
+        # deliver everything whose copy has had a picture's worth of overlap
+        self._drain(keep_last=True)

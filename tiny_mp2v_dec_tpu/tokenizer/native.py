@@ -1,0 +1,116 @@
+"""ctypes wrapper around the native tokenizer (csrc/tokenizer.cpp)."""
+from __future__ import annotations
+
+import ctypes as C
+
+import numpy as np
+
+from .build import build
+from .types import PictureGeometry, PictureParams, PictureTokens
+
+
+class _PicParams(C.Structure):
+    _fields_ = [
+        ("picture_coding_type", C.c_int32),
+        ("f_code", (C.c_int32 * 2) * 2),
+        ("intra_dc_precision", C.c_int32),
+        ("picture_structure", C.c_int32),
+        ("frame_pred_frame_dct", C.c_int32),
+        ("concealment_motion_vectors", C.c_int32),
+        ("q_scale_type", C.c_int32),
+        ("intra_vlc_format", C.c_int32),
+        ("alternate_scan", C.c_int32),
+        ("chroma_format", C.c_int32),
+        ("vertical_size", C.c_int32),
+        ("mb_width", C.c_int32),
+        ("mb_height", C.c_int32),
+        ("quant_matrices", (C.c_uint8 * 64) * 4),
+    ]
+
+
+class _TokenOut(C.Structure):
+    _fields_ = [
+        ("coeff", C.POINTER(C.c_int16)),
+        ("intra", C.POINTER(C.c_uint8)),
+        ("fwd", C.POINTER(C.c_uint8)),
+        ("bwd", C.POINTER(C.c_uint8)),
+        ("field_pred", C.POINTER(C.c_uint8)),
+        ("dct_type", C.POINTER(C.c_uint8)),
+        ("coded", C.POINTER(C.c_uint8)),
+        ("mv", C.POINTER(C.c_int16)),
+        ("mvfs", C.POINTER(C.c_uint8)),
+    ]
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = C.CDLL(build())
+        lib.mp2v_tokenize_picture.restype = C.c_int
+        lib.mp2v_tokenize_picture.argtypes = [
+            C.c_char_p, C.c_size_t, C.POINTER(C.c_uint64),
+            C.POINTER(C.c_int32), C.c_int, C.POINTER(_PicParams),
+            C.POINTER(_TokenOut), C.c_int]
+        assert lib.mp2v_tokenizer_abi_version() == 1
+        _lib = lib
+    return _lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(C.POINTER(ctype))
+
+
+def native_tokenizer(num_threads: int = 0):
+    lib = _load()
+
+    def tokenize(data: bytes, slices, params: PictureParams,
+                 geom: PictureGeometry) -> PictureTokens:
+        tokens = PictureTokens.empty(geom)
+        if not slices:
+            return tokens
+        bitpos = np.asarray([bp for bp, _ in slices], np.uint64)
+        codes = np.asarray([code for _, code in slices], np.int32)
+
+        p = _PicParams()
+        p.picture_coding_type = params.picture_coding_type
+        for s in range(2):
+            for t in range(2):
+                p.f_code[s][t] = params.f_code[s][t]
+        p.intra_dc_precision = params.intra_dc_precision
+        p.picture_structure = params.picture_structure
+        p.frame_pred_frame_dct = params.frame_pred_frame_dct
+        p.concealment_motion_vectors = params.concealment_motion_vectors
+        p.q_scale_type = params.q_scale_type
+        p.intra_vlc_format = params.intra_vlc_format
+        p.alternate_scan = params.alternate_scan
+        p.chroma_format = params.chroma_format
+        p.vertical_size = params.vertical_size
+        p.mb_width = geom.mb_width
+        p.mb_height = geom.mb_height
+        qm = np.ascontiguousarray(params.quant_matrices, np.uint8)
+        C.memmove(p.quant_matrices, qm.ctypes.data, 256)
+
+        # bool arrays are uint8-compatible in memory
+        o = _TokenOut(
+            coeff=_ptr(tokens.coeff, C.c_int16),
+            intra=_ptr(tokens.intra, C.c_uint8),
+            fwd=_ptr(tokens.fwd, C.c_uint8),
+            bwd=_ptr(tokens.bwd, C.c_uint8),
+            field_pred=_ptr(tokens.field_pred, C.c_uint8),
+            dct_type=_ptr(tokens.dct_type, C.c_uint8),
+            coded=_ptr(tokens.coded, C.c_uint8),
+            mv=_ptr(tokens.mv, C.c_int16),
+            mvfs=_ptr(tokens.mvfs, C.c_uint8),
+        )
+        rc = lib.mp2v_tokenize_picture(
+            data, len(data), _ptr(bitpos, C.c_uint64), _ptr(codes, C.c_int32),
+            len(slices), C.byref(p), C.byref(o), num_threads)
+        if rc != 0:
+            raise ValueError(f"native tokenizer error {rc} "
+                             f"(invalid VLC / run overflow / bad MB address)")
+        return tokens
+
+    return tokenize

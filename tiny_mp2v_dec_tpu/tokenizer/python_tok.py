@@ -272,7 +272,10 @@ def tokenize_slice(data: bytes, slice_bit_pos: int, start_code: int,
 
         # decode prediction metadata
         if intra:
-            mv_count, mv_field, pred_type, dmv = 0, not frame_pic, (
+            # concealment MVs are coded as a single vector (spec 6.3.17.1
+            # table 6-17; the reference instead falls into its two-vector
+            # branch here, mb_decoder.cpp:507-517 with count 0)
+            mv_count, mv_field, pred_type, dmv = (1 if cmv else 0), not frame_pic, (
                 PT_FRAME if frame_pic else PT_FIELD), False
         else:
             mv_count, dmv = 1, False
