@@ -302,13 +302,63 @@ def encode_stream(width: int, height: int, chroma_format: int,
 # Random but valid picture generation
 # ---------------------------------------------------------------------------
 
-def _random_block(rng, intra: bool, start_i: int, max_level: int = 600):
+def _delta_for_target(pred: int, target: int, f_code: int) -> int:
+    """Motion delta that makes the decoder's wrap (update_motion_predictor)
+    land exactly on ``target`` (half-pel units) from predictor ``pred``."""
+    f = 1 << (f_code - 1)
+    low, high, rng_ = -16 * f, 16 * f - 1, 32 * f
+    d = target - pred
+    if d > high:
+        d -= rng_
+    elif d < low:
+        d += rng_
+    assert low <= d <= high
+    return d
+
+
+def _target_range(pos: int, size: int, plane: int, f_code: int):
+    """Valid half-pel MV target range keeping the (size+1)-tap half-pel MC
+    window fully inside a ``plane``-px dimension from position ``pos``:
+    start = pos + (mv >> 1) must satisfy 0 <= start, and start + size <=
+    plane-1 for odd (half-pel) mv / start + size <= plane for even mv — which
+    makes the valid set the contiguous range [-2*pos, 2*(plane-size-pos)].
+    Intersected with the f_code representable range [-16f, 16f-1]."""
+    f = 1 << (f_code - 1)
+    lo = max(-2 * pos, -16 * f)
+    hi = min(2 * (plane - size - pos), 16 * f - 1)
+    assert lo <= hi, (pos, size, plane, f_code)
+    return lo, hi
+
+
+def _mv_window_ok(mvx: int, mvy: int, col: int, row: int,
+                  mb_width: int, mb_height: int) -> bool:
+    """True if a frame-motion MV (half-pel) keeps the MC window in-frame for
+    a macroblock at (col, row)."""
+    xlo, xhi = -2 * col * 16, 2 * ((mb_width - 1 - col) * 16)
+    ylo, yhi = -2 * row * 16, 2 * ((mb_height - 1 - row) * 16)
+    return xlo <= mvx <= xhi and ylo <= mvy <= yhi
+
+
+def _random_block(rng, intra: bool, start_i: int, max_level: int = 600,
+                  ref_compat: bool = True):
     """Random list of (run, level) with scan positions staying < 64.
     Non-intra coded blocks must carry at least one coefficient (an empty
-    block would make EOB the first code, which B.14 reserves)."""
+    block would make EOB the first code, which B.14 reserves).
+
+    ``ref_compat``: the reference decoder applies B.14's dct_coefficient_first
+    short form ('1s' = run 0, level ±1) to *intra* blocks too
+    (mb_decoder.cpp:76-88 has no intra guard), although per ISO 13818-2 the
+    first coefficient of an intra block is an ordinary dct_coefficient_next
+    — so an intra block whose first AC code starts with bit '1' (EOB '10' of
+    a DC-only block, or '11s' run-0 ±1) desyncs it.  With ref_compat=True,
+    intra blocks always carry a first AC whose code starts with '0' (run>=1
+    or |level|>=2), keeping streams inside the subset both the spec and the
+    reference decode identically."""
     acs = []
     i = start_i
-    while i < 64 and (rng.random() < 0.75 or (not intra and not acs)):
+    while i < 64 and (rng.random() < 0.75 or (not intra and not acs)
+                      or (ref_compat and intra and not acs)):
+        first = not acs
         run = int(rng.integers(0, min(8, 64 - i)))
         i += run
         if i >= 64:
@@ -317,6 +367,8 @@ def _random_block(rng, intra: bool, start_i: int, max_level: int = 600):
             level = int(rng.integers(512, 2047 + 1)) * (1 if rng.random() < 0.5 else -1)
         else:
             level = int(rng.integers(1, max_level)) * (1 if rng.random() < 0.5 else -1)
+        if ref_compat and intra and first and run == 0 and abs(level) == 1:
+            level = 2 * level
         acs.append((run, level))
         i += 1
     return acs
@@ -346,16 +398,37 @@ def random_picture(rng, mb_width: int, mb_height: int, chroma_format: int,
 
     for row in range(mb_height):
         sl = SliceSpec(mb_row=row, qscale_code=int(rng.integers(1, 32)))
+        st = _EncState(pic)   # simulated PMV state, kept in sync with encode
         col = 0
         prev_nonintra_pred = False
+        prev_dirs = (False, False)
         while col < mb_width:
             mb = MBSpec()
-            # skipped run (not first in slice; B needs a previous predicted MB)
+            # skipped run (not first in slice; B needs a previous predicted
+            # MB).  B-skipped MBs inherit the previous MB's MVs (its PMVs),
+            # so the run is trimmed to columns where those MVs keep the MC
+            # window in-frame; P-skipped MBs use MV=0 (always in-frame).
             can_skip = col > 0 and col < mb_width - 1 and (
                 pct == H.PCT_P or (pct == H.PCT_B and prev_nonintra_pred))
             if can_skip and rng.random() < 0.2:
-                mb.skip_before = int(rng.integers(1, min(40, mb_width - col - 1) + 1))
+                want = int(rng.integers(1, min(40, mb_width - col - 1) + 1))
+                if pct == H.PCT_B:
+                    k = 0
+                    for j in range(want):
+                        ok = True
+                        for s in range(2):
+                            if prev_dirs[s] and not _mv_window_ok(
+                                    int(st.pmv[0, s, 0]), int(st.pmv[0, s, 1]),
+                                    col + j, row, mb_width, mb_height):
+                                ok = False
+                        if not ok:
+                            break
+                        k += 1
+                    want = k
+                mb.skip_before = want
                 col += mb.skip_before
+                if pct == H.PCT_P and mb.skip_before > 0:
+                    st.pmv[:] = 0
 
             if pct == H.PCT_I:
                 mb.intra = True
@@ -395,16 +468,47 @@ def random_picture(rng, mb_width: int, mb_height: int, chroma_format: int,
             if not fpfd and (mb.intra or mb.pattern):
                 mb.dct_type = int(rng.random() < 0.5)
 
-            n_units = 2 if mb.motion_type == 1 and not mb.intra else 1
+            # Motion vectors: sample in-frame *targets* (half-pel, window
+            # fully inside the picture) and derive the wrapped deltas from
+            # the simulated PMV state — generated streams are conformant, so
+            # decoders that do not clamp MC reads (like the reference) stay
+            # in-bounds.
+            field_motion = mb.motion_type == 1 and not mb.intra
+            n_units = 2 if field_motion else 1
+            xlo, xhi = _target_range(col * 16, 16, mb_width * 16, fc)
+            if field_motion:
+                ylo, yhi = _target_range(row * 8, 8, mb_height * 8, fc)
+            else:
+                ylo, yhi = _target_range(row * 16, 16, mb_height * 16, fc)
             for s, on in ((0, mb.fwd or (mb.intra and cmv)), (1, mb.bwd)):
                 if not on:
                     continue
-                bound = min(48, max_delta)
                 for r_idx in range(n_units):
-                    mb.mv_deltas[(r_idx, s)] = (
-                        int(rng.integers(-bound, bound + 1)),
-                        int(rng.integers(-bound, bound + 1)))
+                    tx = int(rng.integers(xlo, xhi + 1))
+                    ty = int(rng.integers(ylo, yhi + 1))
+                    px = int(st.pmv[r_idx, s, 0])
+                    py = int(st.pmv[r_idx, s, 1])
+                    if field_motion:
+                        py >>= 1
+                    dx = _delta_for_target(px, tx, fc)
+                    dy = _delta_for_target(py, ty, fc)
+                    mb.mv_deltas[(r_idx, s)] = (dx, dy)
                     mb.mvfs[(r_idx, s)] = int(rng.integers(0, 2))
+                    _apply_mv_delta(st, r_idx, s, 0, dx, fc, field_motion)
+                    _apply_mv_delta(st, r_idx, s, 1, dy, fc, field_motion)
+            # Table 7-9 bookkeeping + resets (mirrors encode_picture)
+            if not field_motion:
+                if mb.intra:
+                    st.pmv[1, 0] = st.pmv[0, 0]
+                elif mb.fwd and mb.bwd:
+                    st.pmv[1] = st.pmv[0]
+                elif mb.fwd:
+                    st.pmv[1, 0] = st.pmv[0, 0]
+                elif mb.bwd:
+                    st.pmv[1, 1] = st.pmv[0, 1]
+            if (mb.intra and not cmv) or (
+                    pct == H.PCT_P and not mb.intra and not mb.fwd):
+                st.pmv[:] = 0
 
             if mb.intra:
                 cbp = (1 << n_blocks) - 1
@@ -419,6 +523,7 @@ def random_picture(rng, mb_width: int, mb_height: int, chroma_format: int,
                     mb.blocks[b] = (dc, _random_block(rng, mb.intra, 1 if mb.intra else 0))
 
             prev_nonintra_pred = (mb.fwd or mb.bwd) and not mb.intra and mb.motion_type == 2
+            prev_dirs = (mb.fwd, mb.bwd)
             sl.macroblocks.append(mb)
             col += 1
         pic.slices.append(sl)

@@ -142,17 +142,24 @@ def test_quantiser_scale_table():
 
 
 def test_build_quant_matrices_defaults():
-    seq = H.SequenceHeader()
-    w = H.build_quant_matrices(seq, None)
     from tiny_mp2v_dec_tpu.utils.scan import (
-        DEFAULT_INTRA_QUANT_MATRIX, DEFAULT_NON_INTRA_QUANT_MATRIX)
+        DEFAULT_INTRA_QUANT_MATRIX, DEFAULT_NON_INTRA_QUANT_MATRIX, dezigzag)
+    seq = H.SequenceHeader()
+    # spec mode: plain raster defaults
+    w = H.build_quant_matrices(seq, None, ref_compat=False)
     np.testing.assert_array_equal(w[0], DEFAULT_INTRA_QUANT_MATRIX)
     np.testing.assert_array_equal(w[1], DEFAULT_NON_INTRA_QUANT_MATRIX)
     np.testing.assert_array_equal(w[2], DEFAULT_INTRA_QUANT_MATRIX)
+    # ref-compat mode (default): the reference's effective default intra
+    # matrix is its raster constant run through the zigzag de-shuffle
+    # (reference decoder.cpp:167-176 treats it as a downloaded matrix)
+    wr = H.build_quant_matrices(seq, None)
+    np.testing.assert_array_equal(wr[0], dezigzag(DEFAULT_INTRA_QUANT_MATRIX))
+    np.testing.assert_array_equal(wr[1], DEFAULT_NON_INTRA_QUANT_MATRIX)
 
     qm = H.QuantMatrixExtension(load_chroma_intra_quantiser_matrix=1,
                                 chroma_intra_quantiser_matrix=np.full(64, 5, np.uint8))
-    w2 = H.build_quant_matrices(seq, qm)
+    w2 = H.build_quant_matrices(seq, qm, ref_compat=False)
     np.testing.assert_array_equal(w2[0], DEFAULT_INTRA_QUANT_MATRIX)
     np.testing.assert_array_equal(w2[2], np.full(64, 5))
 

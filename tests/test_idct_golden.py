@@ -36,7 +36,11 @@ def test_realistic_blocks_accuracy():
     F = np.round(_fdct(res)).astype(np.int16)
     Fstore = np.swapaxes(F, -1, -2).reshape(512, 64)
     err = np.abs(idct_blocks(Fstore).astype(np.float64) - float_idct_blocks(Fstore))
-    assert err.max() < 3.0
+    # the SSE2-exact arithmetic (truncating mulhi + two-term multiplies)
+    # drifts a few LSB from the ideal float IDCT on dense random blocks;
+    # bit-exactness vs the reference binary is enforced separately by
+    # tests/test_reference_bitexact.py
+    assert err.max() < 6.0
     assert err.mean() < 1.0
 
 

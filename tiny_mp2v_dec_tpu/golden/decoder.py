@@ -65,10 +65,24 @@ class GoldenDecoder:
         self.sext = H.SequenceExtension()
         self.sscal: Optional[H.SequenceScalableExtension] = None
         self.gop: Optional[H.GroupOfPicturesHeader] = None
+        # active quant-matrix extension; persists across pictures until the
+        # next sequence header (spec 6.3.11)
+        self.qmext: Optional[H.QuantMatrixExtension] = None
         self.frames: List[DecodedFrame] = []
         # reference planes in decode order: [older, newer]
         self._refs: List[Optional[tuple]] = [None, None]
         self._reorder_slot: Optional[DecodedFrame] = None
+        self._tokens_out = None        # set by tokenize_stream
+
+    def tokenize_stream(self, data: bytes):
+        """Parse + tokenize only (no reconstruction): per-picture
+        PictureTokens in decode order."""
+        self._tokens_out = []
+        try:
+            self.decode(data)
+        finally:
+            out, self._tokens_out = self._tokens_out, None
+        return out
 
     # -- per-picture state assembled during parsing --
     def _new_picture_state(self, ph: H.PictureHeader):
@@ -78,20 +92,21 @@ class GoldenDecoder:
                 # MPEG-1-style defaults from the picture header f_codes
                 f_code=((ph.forward_f_code, ph.forward_f_code),
                         (ph.backward_f_code, ph.backward_f_code))),
-            "qmext": None,
             "slices": [],
         }
 
     def decode(self, data: bytes) -> List[DecodedFrame]:
         offsets = scan_start_codes(data)
         cur = None
-        qmext = None  # pending quant-matrix extension for the current picture
         for off in offsets:
             off = int(off)
             code = data[off + 3]
             r_pos = (off + 4) * 8
             if code == H.SEQUENCE_HEADER_CODE:
                 self.seq = H.SequenceHeader.parse(H.BitReader(data, r_pos))
+                # spec 6.3.11: downloaded matrices persist until the next
+                # sequence header resets them
+                self.qmext = None
             elif code == H.EXTENSION_START_CODE:
                 r = H.BitReader(data, r_pos)
                 ext_id = r.read(4)
@@ -101,8 +116,8 @@ class GoldenDecoder:
                     self.sscal = H.SequenceScalableExtension.parse(r)
                 elif ext_id == H.PICTURE_CODING_EXTENSION_ID and cur is not None:
                     cur["pcext"] = H.PictureCodingExtension.parse(r)
-                elif ext_id == H.QUANT_MATRIX_EXTENSION_ID and cur is not None:
-                    cur["qmext"] = H.QuantMatrixExtension.parse(r)
+                elif ext_id == H.QUANT_MATRIX_EXTENSION_ID:
+                    self.qmext = H.QuantMatrixExtension.parse(r)
                 # display/copyright/scalable picture extensions: parsed on
                 # demand, no effect on reconstruction
             elif code == H.GROUP_START_CODE:
@@ -145,11 +160,14 @@ class GoldenDecoder:
             alternate_scan=pcext.alternate_scan,
             chroma_format=self.sext.chroma_format,
             vertical_size=geom.height,
-            quant_matrices=H.build_quant_matrices(self.seq, cur["qmext"]),
+            quant_matrices=H.build_quant_matrices(self.seq, self.qmext),
         )
         tokens = PictureTokens.empty(geom)
         for bit_pos, code in cur["slices"]:
             tokenize_slice(data, bit_pos, code, params, geom, tokens)
+        if self._tokens_out is not None:
+            self._tokens_out.append(tokens)
+            return
 
         if ph.picture_coding_type in (H.PCT_I, H.PCT_P):
             ref0, ref1 = self._refs[1], None

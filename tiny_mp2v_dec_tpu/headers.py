@@ -645,16 +645,32 @@ def quantiser_scale_from_code(code: int, q_scale_type: int) -> int:
 
 
 def build_quant_matrices(seq: SequenceHeader,
-                         qmext: Optional[QuantMatrixExtension]) -> np.ndarray:
+                         qmext: Optional[QuantMatrixExtension],
+                         ref_compat: bool = True) -> np.ndarray:
     """Return the four active quantiser matrices (raster order), indexed
     0: intra, 1: non-intra, 2: chroma-intra, 3: chroma-non-intra
     (spec 6.3.7/6.3.11: sequence-header downloads update intra/non-intra for
     all components; a quant matrix extension can additionally override the
-    chroma matrices for 4:2:2/4:4:4)."""
-    intra = seq.intra_quantiser_matrix if seq.load_intra_quantiser_matrix \
-        else DEFAULT_INTRA_QUANT_MATRIX
-    non_intra = seq.non_intra_quantiser_matrix if seq.load_non_intra_quantiser_matrix \
-        else DEFAULT_NON_INTRA_QUANT_MATRIX
+    chroma matrices for 4:2:2/4:4:4).
+
+    ``ref_compat=True`` reproduces the reference decoder's de-facto quant
+    behavior for bit-exact output parity (reference decoder.cpp:167-191):
+    (a) its built-in default intra matrix constant is stored in raster order
+    (decoder.cpp:10-19) but run through the zigzag de-shuffle meant for
+    bitstream-downloaded (scan-order) matrices, so the effective default
+    weight at scan position i is the raster table read *at* i — replicated
+    here by dezigzagging the raster constant; and (b) sequence-header
+    downloaded matrices are ignored (only the quant-matrix-extension path
+    applies downloads, which it does spec-correctly).  ``ref_compat=False``
+    gives the ISO 13818-2 behavior."""
+    if ref_compat:
+        intra = dezigzag(DEFAULT_INTRA_QUANT_MATRIX)
+        non_intra = DEFAULT_NON_INTRA_QUANT_MATRIX  # flat 16s: shuffle-invariant
+    else:
+        intra = seq.intra_quantiser_matrix if seq.load_intra_quantiser_matrix \
+            else DEFAULT_INTRA_QUANT_MATRIX
+        non_intra = seq.non_intra_quantiser_matrix if seq.load_non_intra_quantiser_matrix \
+            else DEFAULT_NON_INTRA_QUANT_MATRIX
     w = np.stack([intra, non_intra, intra, non_intra]).astype(np.uint8)
     if qmext is not None:
         if qmext.load_intra_quantiser_matrix:

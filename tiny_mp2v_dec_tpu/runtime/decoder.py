@@ -119,6 +119,7 @@ class MP2VDecoder:
         self.sext = H.SequenceExtension()
         self.sscal = None
         self.gop = None
+        self.qmext = None
         self._refs = [None, None]      # device plane tuples, decode order
         self._reorder_slot = None
         self._out_fifo = []            # pending frames with in-flight copies
@@ -182,6 +183,8 @@ class MP2VDecoder:
             r_pos = (off + 4) * 8
             if code == H.SEQUENCE_HEADER_CODE:
                 self.seq = H.SequenceHeader.parse(H.BitReader(data, r_pos))
+                # spec 6.3.11: sequence header resets downloaded matrices
+                self.qmext = None
             elif code == H.EXTENSION_START_CODE:
                 r = H.BitReader(data, r_pos)
                 ext_id = r.read(4)
@@ -191,8 +194,9 @@ class MP2VDecoder:
                     self.sscal = H.SequenceScalableExtension.parse(r)
                 elif ext_id == H.PICTURE_CODING_EXTENSION_ID and cur is not None:
                     cur["pcext"] = H.PictureCodingExtension.parse(r)
-                elif ext_id == H.QUANT_MATRIX_EXTENSION_ID and cur is not None:
-                    cur["qmext"] = H.QuantMatrixExtension.parse(r)
+                elif ext_id == H.QUANT_MATRIX_EXTENSION_ID:
+                    # persists across pictures until the next sequence header
+                    self.qmext = H.QuantMatrixExtension.parse(r)
             elif code == H.GROUP_START_CODE:
                 self.gop = H.GroupOfPicturesHeader.parse(H.BitReader(data, r_pos))
             elif code == H.PICTURE_START_CODE:
@@ -203,7 +207,7 @@ class MP2VDecoder:
                        "pcext": H.PictureCodingExtension(
                            f_code=((ph.forward_f_code,) * 2,
                                    (ph.backward_f_code,) * 2)),
-                       "qmext": None, "slices": []}
+                       "slices": []}
             elif code in (H.SEQUENCE_END_CODE, H.SEQUENCE_ERROR_CODE):
                 if cur is not None:
                     self._decode_picture(data, cur)
@@ -287,7 +291,7 @@ class MP2VDecoder:
             alternate_scan=pcext.alternate_scan,
             chroma_format=geom.chroma_format,
             vertical_size=geom.height,
-            quant_matrices=H.build_quant_matrices(self.seq, cur["qmext"]),
+            quant_matrices=H.build_quant_matrices(self.seq, self.qmext),
         )
         t0 = time.perf_counter()
         tokens = self.tokenize_picture(data, cur["slices"], params, geom)

@@ -265,7 +265,9 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
     st.dc_pred[comp] += diff;
     int dc = st.dc_pred[comp] << (3 - p.intra_dc_precision);
     out64[0] = int16_t(dc);
-    parity += dc;
+    // intra DC is excluded from the mismatch-control sum (matches the
+    // reference, which accumulates parity only over parse_block output,
+    // mb_decoder.cpp:74-155)
     i = 1;
   } else {
     i = 0;
@@ -273,10 +275,10 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
       // B.14 first-coefficient short form '1s'
       r.skip(1);
       int sign = int(r.read(1));
+      // reference applies NO saturation here (mb_decoder.cpp:80-87,
+      // int16 val stored directly); max 3*255*112>>5 = 2677 fits int16
       int val = (3 * W[0] * qs) >> 5;
       if (sign) val = -val;
-      if (val > 2047) val = 2047;
-      if (val < -2048) val = -2048;
       out64[0] = int16_t(val);
       parity += val;
       i = 1;
@@ -309,6 +311,9 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
     int val = intra ? ((level * W[raster] * qs) >> 4)
                     : (((2 * level + 1) * W[raster] * qs) >> 5);
     if (sign) val = -val;
+    // reference saturation (mb_decoder.cpp:146): std::min/max<int16_t>
+    // convert the int32 product to int16 FIRST (wraparound), then clamp
+    val = int16_t(uint16_t(val));
     if (val > 2047) val = 2047;
     if (val < -2048) val = -2048;
     out64[kTranspose64[raster]] = int16_t(val);

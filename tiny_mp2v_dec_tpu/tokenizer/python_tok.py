@@ -128,7 +128,12 @@ def _parse_block(r: BitReader, params: PictureParams, st: _SliceState,
         st.dc_pred[comp] += diff
         dc = st.dc_pred[comp] << (3 - params.intra_dc_precision)
         out64[0] = dc
-        parity += dc
+        # NOTE: the intra DC is NOT in the mismatch-control sum — the
+        # reference accumulates parity only inside parse_block
+        # (mb_decoder.cpp:74-155; QFS[0] is set outside it at :160).  Spec
+        # 7.4.4 sums all 64 coefficients, but for intra_dc_precision<3 the
+        # DC is always even so only precision 3 could differ, and the
+        # reference's de-facto behavior is the bit-exactness target.
         i = 1
     else:
         i = 0
@@ -137,9 +142,11 @@ def _parse_block(r: BitReader, params: PictureParams, st: _SliceState,
             if r.peek(1) == 1:
                 r.skip(1)
                 sign = r.read(1)
+                # the reference's first-coefficient special case applies NO
+                # ±2048 saturation (mb_decoder.cpp:80-87: int16 val, direct
+                # store); max value 3*255*112>>5 = 2677 fits int16
                 val = (3 * int(W[0]) * qs) >> 5
                 val = -val if sign else val
-                val = max(-2048, min(2047, val))
                 out64[0] = val
                 parity += val
                 i = 1
@@ -179,6 +186,10 @@ def _parse_block(r: BitReader, params: PictureParams, st: _SliceState,
         else:
             val = ((2 * level + 1) * int(W[raster]) * qs) >> 5
         val = -val if sign else val
+        # reference saturation semantics (mb_decoder.cpp:146):
+        # std::min/max<int16_t> convert the int32 product to int16 FIRST
+        # (two's-complement wrap), then clamp to [-2048, 2047]
+        val = ((val + 32768) & 65535) - 32768
         val = max(-2048, min(2047, val))
         out64[TRANSPOSE64[raster]] = val
         parity += val
