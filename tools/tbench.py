@@ -1,0 +1,47 @@
+"""Trustworthy on-device kernel timing for remote/tunneled TPU platforms.
+
+``jax.block_until_ready`` on the axon remote platform returns before device
+work completes, and a host read pays a large tunnel round trip.  So: run the
+op N times *chained* (each iteration data-depends on the previous) inside one
+jitted ``lax.fori_loop``, force one tiny host read at the end, and subtract
+the 1-iteration time.  Per-iteration cost = (t_N - t_1) / (N - 1).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chain_time(op, args, n=32, warmup=True):
+    """op: fn(*args, salt) -> pytree whose first leaf is an array.
+    ``salt`` is a traced int32 scalar that MUST be mixed into the inputs so
+    XLA cannot hoist the body out of the loop.  Returns seconds/iteration."""
+
+    def run(k):
+        def body(i, carry):
+            out = op(*args, carry)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            # runtime-zero, statically unknown salt for the next iteration
+            return jnp.min(leaf).astype(jnp.int32) * 0 + i * 0
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    f = jax.jit(run, static_argnums=0)
+    if warmup:
+        np.asarray(f(1))
+        np.asarray(f(n))
+    t0 = time.perf_counter()
+    np.asarray(f(1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(f(n))
+    tn = time.perf_counter() - t0
+    return max(tn - t1, 0.0) / (n - 1)
+
+
+def report(name, op, args, n=32):
+    dt = chain_time(op, args, n)
+    print(f"{name:52s} {dt*1e3:9.3f} ms")
+    return dt
