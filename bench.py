@@ -5,60 +5,48 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
 
 vs_baseline is the ratio against the reference C++ decoder
-(fxslava/tiny_mp2v_dec, SSE2 build, all cores of this host) measured on the
-same generated stream content; see BASELINE_MEASURED below.  A value of 0
-means no local reference measurement is recorded yet.
+(fxslava/tiny_mp2v_dec, SSE2 build, all host cores) measured on the SAME
+stream by tools/bench_reference.py and recorded in BASELINE_MEASURED.json.
+A value of 0 means no reference measurement is recorded.
 
-Stream: synthetic but realistic 1080p 4:2:0 IBBP GOPs (seeded, cached in
-.bench_cache/).  Timing excludes stream generation and first-use compilation,
-includes host tokenize + device reconstruction + display reordering +
-device->host frame copy (the full user-visible decode path).
+Stream: synthetic but realistic 1080p 4:2:0 IBBP GOPs (tools/bench_stream.py,
+seeded, cached in .bench_cache/).  Timing excludes stream generation and
+first-use compilation, includes host tokenize + device reconstruction +
+display reordering (device-resident delivery; host delivery is the secondary
+line, matching the reference's file-output-off timing advice, README.md:48).
 """
 import json
 import os
-import pickle
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, "tests"))
+sys.path.insert(0, os.path.join(_HERE, "tools"))
+sys.path.insert(0, _HERE)
 
-# Reference decoder fps measured on this host (see tools/bench_reference.sh);
-# 0.0 until recorded.
-BASELINE_MEASURED_FPS = 0.0
+from bench_stream import make_bench_stream  # noqa: E402
 
 N_PICTURES = 16
 WARMUP = 1
 REPEATS = 3
 
 
-def make_stream(cache_dir: str) -> bytes:
-    os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"bench_1080p_{N_PICTURES}.m2v")
-    if os.path.exists(path):
-        with open(path, "rb") as f:
-            return f.read()
-    import numpy as np
-    from m2v_encoder import encode_stream, random_picture
-    from tiny_mp2v_dec_tpu import headers as H
-
-    rng = np.random.default_rng(1729)
-    pct_pattern = [H.PCT_I] + [H.PCT_P, H.PCT_B, H.PCT_B] * ((N_PICTURES - 1) // 3 + 1)
-    pics = []
-    for i in range(N_PICTURES):
-        pics.append(random_picture(rng, 120, 68, H.CHROMA_420, pct_pattern[i]))
-        pics[-1].temporal_reference = i
-    data = encode_stream(1920, 1088, H.CHROMA_420, pics)
-    with open(path, "wb") as f:
-        f.write(data)
-    return data
+def baseline_fps() -> float:
+    """Reference C++ decoder fps on the same stream, as recorded by
+    tools/bench_reference.py into BASELINE_MEASURED.json."""
+    path = os.path.join(_HERE, "BASELINE_MEASURED.json")
+    if not os.path.exists(path):
+        return 0.0
+    with open(path) as f:
+        return float(json.load(f).get("fps", 0.0))
 
 
 def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(here, ".jax_cache"))
-    data = make_stream(os.path.join(here, ".bench_cache"))
+    data = make_bench_stream(N_PICTURES, os.path.join(here, ".bench_cache"))
 
     import jax
     from tiny_mp2v_dec_tpu import DecoderConfig, MP2VDecoder
@@ -102,7 +90,8 @@ def main() -> int:
     print(f"# host-delivery: {host_fps:.2f} frames/s (tunnel d2h bound)",
           file=sys.stderr)
 
-    vs = fps / BASELINE_MEASURED_FPS if BASELINE_MEASURED_FPS > 0 else 0.0
+    base = baseline_fps()
+    vs = fps / base if base > 0 else 0.0
     print(json.dumps({
         "metric": "1080p_420_decode_throughput",
         "value": round(fps, 2),

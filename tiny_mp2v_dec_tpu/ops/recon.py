@@ -112,8 +112,12 @@ class DeviceRecon:
         # Persistent host staging buffers: uploading from freshly allocated
         # numpy memory pays a large per-buffer registration cost on remote
         # TPU transports; reusing pinned staging memory makes h2d cheap.
-        # Double-buffered so a staging write never races an in-flight copy.
+        # Double-buffered, and each slot is guarded: PJRT may defer reading
+        # the host buffer until the transfer completes (ImmutableUntil-
+        # TransferCompletes semantics), so a slot must not be rewritten
+        # until the device array created from it is ready.
         self._stage = [None, None]
+        self._stage_busy = [None, None]
         self._stage_idx = 0
 
     # ------------------------------------------------------------------
@@ -231,10 +235,15 @@ class DeviceRecon:
             self._stage[idx] = (
                 np.zeros((g.n_mb, g.blocks_per_mb, 64), np.int16),
                 np.zeros((g.n_mb, META_COLS), np.int16))
+        if self._stage_busy[idx] is not None:
+            # wait until the h2d copy that reads this slot has finished
+            jax.block_until_ready(self._stage_busy[idx])
         sc, sm = self._stage[idx]
         np.copyto(sc, tokens.coeff)
         pack_meta(tokens, out=sm)
-        return jnp.asarray(sc), jnp.asarray(sm)
+        out = (jnp.asarray(sc), jnp.asarray(sm))
+        self._stage_busy[idx] = out
+        return out
 
     def call_packed(self, tokens: PictureTokens, ref0=None, ref1=None):
         """Returns (y, u, v, packed_output); planes stay on device for use
@@ -268,6 +277,7 @@ class GopRecon:
                                  use_pallas_idct=use_pallas_idct)
         self._fn = jax.jit(self._gop)
         self._stage = None
+        self._stage_busy = None  # see DeviceRecon._upload slot guard
 
     def _gop(self, coeff, meta, is_b, is_ip, r0y, r0u, r0v, r1y, r1u, r1v):
         inner = self.inner
@@ -313,6 +323,8 @@ class GopRecon:
         t = len(tokens_list)
         assert 0 < t <= self.chunk
         sc, sm = self._staging()
+        if self._stage_busy is not None:
+            jax.block_until_ready(self._stage_busy)
         if t < self.chunk:
             sc[t:] = 0
             sm[t:] = 0
@@ -327,7 +339,9 @@ class GopRecon:
             ref0 = self.inner.zero_planes()
         if ref1 is None:
             ref1 = self.inner.zero_planes()
-        out = self._fn(jnp.asarray(sc), jnp.asarray(sm), jnp.asarray(is_b),
+        cj, mj = jnp.asarray(sc), jnp.asarray(sm)
+        self._stage_busy = (cj, mj)
+        out = self._fn(cj, mj, jnp.asarray(is_b),
                        jnp.asarray(is_ip), *ref0, *ref1)
         r0, r1, packs = out[0:3], out[3:6], out[6]
         return r0, r1, packs

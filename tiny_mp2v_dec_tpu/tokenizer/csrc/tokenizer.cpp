@@ -242,9 +242,12 @@ static void parse_motion_vector(BitReader& r, SliceState& st, int r_idx, int s,
 
 static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
                         int16_t* out64, bool intra, bool luma, int chroma_idx,
-                        int* err) {
+                        bool use_chroma_w, int* err) {
   const uint8_t* scan = p.alternate_scan ? kScanRaster1 : kScanRaster0;
-  int w_sel = (luma || p.chroma_format == 1) ? (intra ? 0 : 1) : (intra ? 2 : 3);
+  // Reference-compat: chroma quant matrices (W[2]/W[3]) apply only to the
+  // 4:2:2/4:4:4 extension blocks (bitstream index >= 6); the first chroma
+  // pair always uses W[0]/W[1] (reference: mb_decoder.cpp:177-196).
+  int w_sel = use_chroma_w ? (intra ? 2 : 3) : (intra ? 0 : 1);
   const uint8_t* W = p.quant_matrices[w_sel];
   int qs = st.qscale;
   bool use_one = p.intra_vlc_format && intra;
@@ -542,7 +545,7 @@ static int tokenize_slice(const uint8_t* data, size_t len, uint64_t bit_pos,
       bool luma = b < 4;
       int chroma_idx = luma ? 0 : 1 + ((b - 4) & 1);
       int16_t* dst = out.coeff + (m * n_blocks + slot[b]) * 64;
-      parse_block(r, p, st, dst, intra, luma, chroma_idx, &err);
+      parse_block(r, p, st, dst, intra, luma, chroma_idx, b >= 6, &err);
       if (err) return err;
     }
 

@@ -6,14 +6,33 @@ emits :class:`PictureTokens`.  Slices are independently decodable (the spec
 resets VLC/PMV/DC state at slice start), which is what makes both the
 reference's slice-level threading and our multi-core native tokenizer legal.
 
-Spec-over-reference choices (documented deliberate differences from the
-reference decoder, which has known bugs here):
-  * mismatch-control parity includes the intra DC coefficient (spec 7.4.4;
-    the reference's parse_block excludes it, mb_decoder.cpp:76-153).
+Conformance policy — the REFERENCE BINARY is the bit-exactness target
+(enforced by tests/test_reference_bitexact.py); where its de-facto behavior
+differs from ISO 13818-2 we match the reference and document it:
+  * mismatch-control parity EXCLUDES the intra DC coefficient (reference
+    parse_block accumulates parity only over its own output,
+    mb_decoder.cpp:74-155, QFS[0] set outside at :160; spec 7.4.4 sums all
+    64 — only intra_dc_precision=3 could differ, where DC may be odd).
+  * chroma quant matrices W[2]/W[3] apply only to 4:2:2/4:4:4 *extension*
+    blocks (bitstream index >= 6); the first chroma pair uses W[0]/W[1]
+    (mb_decoder.cpp:177-196; spec 7.4.2.2 would use them for all chroma
+    blocks).
+  * quant-matrix defaults/downloads follow the reference's shuffle
+    semantics (headers.build_quant_matrices ref_compat).
+
+Remaining deliberate spec-over-reference choices (cases the reference
+mis-parses so no bitstream-compatible behavior exists; conformance streams
+avoid them, see tests/test_reference_bitexact.py docstring):
+  * concealment MVs are parsed as the single vector Table 6-17 specifies
+    (the reference parses two, desyncing the cursor, mb_decoder.cpp:567-574),
+    and their predictor bookkeeping also runs in I pictures (spec 7.6.3.1).
+  * B.14's dct_coefficient_first short form is applied only to non-intra
+    blocks (the reference applies it to intra too, mb_decoder.cpp:76-88).
   * skipped B macroblocks predict from PMV unit 0 only (spec 7.6.6; the
-    reference also replays unit 1, mb_decoder.cpp:547).
-  * concealment-MV predictor bookkeeping also runs in I pictures (spec
-    7.6.3.1; the reference skips it, mb_decoder.cpp:581).
+    reference replays unit 1 over the same destination, mb_decoder.cpp:547
+    — identical output whenever the previous MB used frame motion, which
+    Table 7-9 guarantees keeps the units equal; only field-motion
+    predecessors could differ, and real encoders do not skip after them).
 """
 from __future__ import annotations
 
@@ -101,11 +120,19 @@ def _parse_motion_vector(r, st, r_idx, s, f_code_s, mv_out, field_in_frame, dmv)
 
 
 def _parse_block(r: BitReader, params: PictureParams, st: _SliceState,
-                 out64: np.ndarray, intra: bool, luma: bool, chroma_idx: int) -> None:
+                 out64: np.ndarray, intra: bool, luma: bool, chroma_idx: int,
+                 use_chroma_w: bool) -> None:
     """Coefficient VLC + fused dequant + inverse scan + mismatch control
-    (spec 7.4; reference: mb_decoder.cpp:74-155)."""
+    (spec 7.4; reference: mb_decoder.cpp:74-155).
+
+    ``use_chroma_w`` selects the chroma quantiser matrices (W[2]/W[3]).
+    Reference-compat policy: the reference applies them only to the
+    4:2:2/4:4:4 *extension* blocks (bitstream block index >= 6,
+    mb_decoder.cpp:177-196 passes W[0]/W[1] for chroma blocks 4-5 in every
+    chroma format), while spec 7.4.2.2 uses them for all chroma blocks in
+    4:2:2/4:4:4.  We match the reference — the bit-exactness target."""
     alt = params.alternate_scan
-    w_sel = (0 if intra else 1) if (luma or params.chroma_format == 1) else (2 if intra else 3)
+    w_sel = (2 if intra else 3) if use_chroma_w else (0 if intra else 1)
     W = params.quant_matrices[w_sel]
     qs = st.qscale
     use_one = bool(params.intra_vlc_format) and intra
@@ -409,7 +436,7 @@ def tokenize_slice(data: bytes, slice_bit_pos: int, start_code: int,
                 chroma_idx = 0 if luma else 1 + ((b - 4) & 1)
                 slot = block_slot[b]
                 _parse_block(r, params, st, tokens.coeff[m, slot],
-                             intra, luma, chroma_idx)
+                             intra, luma, chroma_idx, use_chroma_w=b >= 6)
 
         if r.peek(23) == 0:
             break

@@ -1,5 +1,8 @@
 #!/usr/bin/env python
-"""Drill into MC gather cost: which component/shape is slow on TPU."""
+"""Drill into MC gather cost: which component/shape is slow on TPU.
+
+NOTE: block_until_ready wall timing is only trustworthy on local backends;
+on the tunneled axon platform use tools/tbench.py chain timing instead."""
 import os
 import sys
 import time
@@ -11,9 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tiny_mp2v_dec_tpu.headers import CHROMA_420
-from tiny_mp2v_dec_tpu.ops.mc import (gather_windows, halfpel_select,
-                                      mc_bidir_tiles, mc_unidir_tiles,
-                                      pad_for_mc)
+from tiny_mp2v_dec_tpu.ops.mc import (gather_windows, mc_bidir_tiles,
+                                      mc_unidir_tiles, pad_for_mc)
 from tiny_mp2v_dec_tpu.parallel.mesh import random_tokens
 from tiny_mp2v_dec_tpu.tokenizer.types import PictureGeometry
 

@@ -24,8 +24,13 @@ def chain_time(op, args, n=32, warmup=True):
         def body(i, carry):
             out = op(*args, carry)
             leaf = jax.tree_util.tree_leaves(out)[0]
-            # runtime-zero, statically unknown salt for the next iteration
-            return jnp.min(leaf).astype(jnp.int32) * 0 + i * 0
+            # Data-dependent salt for the next iteration.  The barrier stops
+            # XLA's algebraic simplifier from folding the chain away (it
+            # rewrites integer x*0 -> 0, which would make the loop body
+            # loop-invariant and the whole measurement ~0); the masking *0
+            # keeps the salt runtime-zero so op inputs are unchanged.
+            dep = jax.lax.optimization_barrier(jnp.min(leaf).astype(jnp.int32))
+            return jax.lax.optimization_barrier(dep * 0 + i * 0)
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
     f = jax.jit(run, static_argnums=0)
