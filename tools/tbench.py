@@ -17,20 +17,21 @@ import numpy as np
 
 def chain_time(op, args, n=32, warmup=True):
     """op: fn(*args, salt) -> pytree whose first leaf is an array.
-    ``salt`` is a traced int32 scalar that MUST be mixed into the inputs so
-    XLA cannot hoist the body out of the loop.  Returns seconds/iteration."""
+    ``salt`` is a traced int32 scalar whose runtime value is always 0; the
+    op MUST ADD it to one of its integer inputs (never multiply by 0 — XLA
+    folds x*0 and the loop body becomes hoistable).  Returns s/iteration."""
 
     def run(k):
         def body(i, carry):
-            out = op(*args, carry)
+            # carry's runtime value is data-dependent on the previous
+            # iteration; mask it to zero OPAQUELY (x - barrier(x) == 0 at
+            # runtime, but the simplifier cannot prove it) so op inputs are
+            # unchanged while the dependence chain survives optimization.
+            salt = carry - jax.lax.optimization_barrier(carry)
+            out = op(*args, salt)
             leaf = jax.tree_util.tree_leaves(out)[0]
-            # Data-dependent salt for the next iteration.  The barrier stops
-            # XLA's algebraic simplifier from folding the chain away (it
-            # rewrites integer x*0 -> 0, which would make the loop body
-            # loop-invariant and the whole measurement ~0); the masking *0
-            # keeps the salt runtime-zero so op inputs are unchanged.
-            dep = jax.lax.optimization_barrier(jnp.min(leaf).astype(jnp.int32))
-            return jax.lax.optimization_barrier(dep * 0 + i * 0)
+            return jax.lax.optimization_barrier(
+                jnp.min(leaf).astype(jnp.int32))
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
     f = jax.jit(run, static_argnums=0)
