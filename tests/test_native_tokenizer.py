@@ -79,7 +79,11 @@ def _native_tokens(data):
 
 
 def _assert_tokens_equal(a, b, ctx=""):
-    for name in ("coeff", "intra", "fwd", "bwd", "field_pred", "dct_type",
+    # densify coefficients: the native tokenizer's sparse row order is
+    # thread-nondeterministic, the scattered result must be identical
+    np.testing.assert_array_equal(a.dense_coeff(), b.dense_coeff(),
+                                  err_msg=f"{ctx}: coeff")
+    for name in ("intra", "fwd", "bwd", "field_pred", "dct_type",
                  "mv", "mvfs", "coded"):
         np.testing.assert_array_equal(
             getattr(a, name), getattr(b, name), err_msg=f"{ctx}: {name}")

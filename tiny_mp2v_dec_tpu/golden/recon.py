@@ -82,7 +82,7 @@ def reconstruct_picture(tokens: PictureTokens,
     ref1_full, ref1_fields = _pad_refs(ref1)
 
     # batched fixed-point IDCT over every block of the picture
-    residual = idct_blocks(tokens.coeff)  # (n_mb, n_blk, 8, 8) int16
+    residual = idct_blocks(tokens.dense_coeff())  # (n_mb, n_blk, 8, 8) int16
 
     mbw = geom.mb_width
     for m in range(geom.n_mb):

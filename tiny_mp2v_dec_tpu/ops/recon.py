@@ -82,6 +82,28 @@ def _unpack_meta(meta):
             meta[:, _M_MVFS:_M_MVFS + 4].reshape(n, 2, 2).astype(jnp.uint8))
 
 
+def _bucket(n: int, cap_max: int) -> int:
+    """Round a coded-block count up to a power-of-two bucket (>= 2048) to
+    bound the number of jit shape variants; clamped to the dense capacity.
+    Callers pass n = coded_blocks + 1: one padding row is always reserved
+    as the zero row that uncoded blocks gather from."""
+    b = 2048
+    while b < n:
+        b <<= 1
+    return min(b, cap_max) if n <= cap_max else cap_max
+
+
+def _sparse_src_map(cblk_idx, k, n_rows, dummy, out=None):
+    """Dense-row -> sparse-row gather map: src[j] = position of block j in
+    the sparse row array, or ``dummy`` (a zeroed padding row) if uncoded.
+    The inverse-permutation GATHER formulation replaces a device scatter —
+    row gathers (embedding-style) are far faster on TPU than scatters."""
+    src = out if out is not None else np.empty(n_rows, np.int32)
+    src.fill(dummy)
+    src[cblk_idx[:k]] = np.arange(k, dtype=np.int32)
+    return src
+
+
 class DeviceRecon:
     """Per-geometry compiled reconstruction step.
 
@@ -112,12 +134,13 @@ class DeviceRecon:
         # Persistent host staging buffers: uploading from freshly allocated
         # numpy memory pays a large per-buffer registration cost on remote
         # TPU transports; reusing pinned staging memory makes h2d cheap.
-        # Double-buffered, and each slot is guarded: PJRT may defer reading
-        # the host buffer until the transfer completes (ImmutableUntil-
-        # TransferCompletes semantics), so a slot must not be rewritten
-        # until the device array created from it is ready.
-        self._stage = [None, None]
-        self._stage_busy = [None, None]
+        # Keyed by (bucket capacity, parity) — double-buffered, and each
+        # slot is guarded: PJRT may defer reading the host buffer until the
+        # transfer completes (ImmutableUntilTransferCompletes semantics), so
+        # a slot must not be rewritten until the device array created from
+        # it is ready.
+        self._stage = {}
+        self._stage_busy = {}
         self._stage_idx = 0
 
     # ------------------------------------------------------------------
@@ -152,21 +175,43 @@ class DeviceRecon:
             pred = jnp.where(field_pred[:, None, None], ftile, pred)
         return pred
 
+    def _residual_sparse(self, cblk, src):
+        """IDCT only the coded blocks, then expand to the dense block grid
+        by a row GATHER.
+
+        ``cblk``: (cap, 64) int16 coefficient rows — uncoded blocks gather
+        from a zeroed padding row; ``src``: (n_mb*blocks_per_mb,) int32
+        sparse-row index per dense block (see _sparse_src_map)."""
+        geom = self.geom
+        if self.use_pallas_idct:
+            res = idct_blocks_pallas(cblk)
+        else:
+            res = idct_blocks_jnp(cblk)
+        dense = res.reshape(cblk.shape[0], 64)[src]
+        return dense.reshape(geom.n_mb, geom.blocks_per_mb, 8, 8)
+
     def _recon(self, coeff, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
                r0y, r0u, r0v, r1y, r1u, r1v):
+        """Dense-coefficient entry (kept for row-sharded / stream-batch
+        recon and the driver compile check)."""
+        n = self.geom.n_mb
+        if self.use_pallas_idct:
+            residual = idct_blocks_pallas(coeff.reshape(-1, 64)).reshape(
+                n, self.geom.blocks_per_mb, 8, 8)
+        else:
+            residual = idct_blocks_jnp(coeff)
+        return self._recon_from_residual(residual, dct_type, fwd, bwd,
+                                         field_pred, coded, mv, mvfs,
+                                         r0y, r0u, r0v, r1y, r1u, r1v)
+
+    def _recon_from_residual(self, residual, dct_type, fwd, bwd, field_pred,
+                             coded, mv, mvfs, r0y, r0u, r0v, r1y, r1u, r1v):
         geom = self.geom
         cf = geom.chroma_format
         xs, ys, n_cb = CHROMA_INFO[cf]
         c_cols = (16 >> xs) // 8
         c_rows = (16 >> ys) // 8
         n = geom.n_mb
-
-        # --- residual ---
-        if self.use_pallas_idct:
-            residual = idct_blocks_pallas(coeff.reshape(-1, 64)).reshape(
-                n, geom.blocks_per_mb, 8, 8)
-        else:
-            residual = idct_blocks_jnp(coeff)
         inter_c = dct_type if cf != CHROMA_420 else None
         res = {
             0: _tiles_from_blocks(residual[:, :4], 2, 2, dct_type),
@@ -198,13 +243,16 @@ class DeviceRecon:
             planes.append(_plane_from_tiles(tile, mbh, mbw, h, w))
         return tuple(planes)
 
-    def _recon_packed(self, coeff, meta, r0y, r0u, r0v, r1y, r1u, r1v):
-        """Packed-interface recon: one int16 metadata array in, and an extra
-        flat uint8 output holding the three cropped planes concatenated —
-        one host upload and one host download per picture."""
+    def _recon_packed(self, cblk, cidx, meta, r0y, r0u, r0v, r1y, r1u, r1v):
+        """Packed sparse-interface recon: coded coefficient rows + indices +
+        one int16 metadata array in, and an extra flat uint8 output holding
+        the three cropped planes concatenated — minimal host<->device
+        traffic per picture."""
         dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(meta)
-        y, u, v = self._recon(coeff, dct_type, fwd, bwd, field_pred, coded,
-                              mv, mvfs, r0y, r0u, r0v, r1y, r1u, r1v)
+        residual = self._residual_sparse(cblk, cidx)
+        y, u, v = self._recon_from_residual(
+            residual, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
+            r0y, r0u, r0v, r1y, r1u, r1v)
         geom = self.geom
         xs, ys, _ = CHROMA_INFO[geom.chroma_format]
         cw = (geom.width + (1 << xs) - 1) >> xs
@@ -228,20 +276,26 @@ class DeviceRecon:
         return y, u, v
 
     def _upload(self, tokens: PictureTokens):
-        idx = self._stage_idx
+        g = self.geom
+        n_rows = g.n_mb * g.blocks_per_mb
+        k = tokens.n_coded_blocks
+        cap = _bucket(k + 1, n_rows + 1)  # +1: reserved zero row
+        idx = (cap, self._stage_idx)
         self._stage_idx ^= 1
-        if self._stage[idx] is None:
-            g = self.geom
+        if idx not in self._stage:
             self._stage[idx] = (
-                np.zeros((g.n_mb, g.blocks_per_mb, 64), np.int16),
+                np.empty((cap, 64), np.int16),
+                np.empty(n_rows, np.int32),
                 np.zeros((g.n_mb, META_COLS), np.int16))
-        if self._stage_busy[idx] is not None:
+        if self._stage_busy.get(idx) is not None:
             # wait until the h2d copy that reads this slot has finished
             jax.block_until_ready(self._stage_busy[idx])
-        sc, sm = self._stage[idx]
-        np.copyto(sc, tokens.coeff)
+        sc, ss, sm = self._stage[idx]
+        sc[:k] = tokens.cblk[:k]
+        sc[k] = 0  # the zero row uncoded blocks gather from
+        _sparse_src_map(tokens.cblk_idx, k, n_rows, dummy=k, out=ss)
         pack_meta(tokens, out=sm)
-        out = (jnp.asarray(sc), jnp.asarray(sm))
+        out = (jnp.asarray(sc), jnp.asarray(ss), jnp.asarray(sm))
         self._stage_busy[idx] = out
         return out
 
@@ -252,8 +306,8 @@ class DeviceRecon:
             ref0 = self.zero_planes()
         if ref1 is None:
             ref1 = self.zero_planes()
-        coeff, meta = self._upload(tokens)
-        return self._fn_packed(coeff, meta, *ref0, *ref1)
+        cblk, cidx, meta = self._upload(tokens)
+        return self._fn_packed(cblk, cidx, meta, *ref0, *ref1)
 
 
 class GopRecon:
@@ -276,10 +330,11 @@ class GopRecon:
         self.inner = DeviceRecon(geom, field_support=field_support,
                                  use_pallas_idct=use_pallas_idct)
         self._fn = jax.jit(self._gop)
-        self._stage = None
-        self._stage_busy = None  # see DeviceRecon._upload slot guard
+        self._stage = {}       # keyed by coded-block bucket capacity
+        self._stage_busy = {}  # see DeviceRecon._upload slot guard
 
-    def _gop(self, coeff, meta, is_b, is_ip, r0y, r0u, r0v, r1y, r1u, r1v):
+    def _gop(self, cblk, cidx, meta, is_b, is_ip,
+             r0y, r0u, r0v, r1y, r1u, r1v):
         inner = self.inner
         geom = self.geom
         xs_, ys_, _ = CHROMA_INFO[geom.chroma_format]
@@ -288,12 +343,14 @@ class GopRecon:
 
         def step(carry, xs):
             r0, r1 = carry
-            c, m, b_flag, ip_flag = xs
+            c, ci, m, b_flag, ip_flag = xs
             dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(m)
+            residual = inner._residual_sparse(c, ci)
             # B pictures predict from (older, newer); I/P from (newer, -)
             ref0u = tuple(jnp.where(b_flag, a, b) for a, b in zip(r0, r1))
-            out = inner._recon(c, dct_type, fwd, bwd, field_pred, coded, mv,
-                               mvfs, *ref0u, *r1)
+            out = inner._recon_from_residual(
+                residual, dct_type, fwd, bwd, field_pred, coded, mv,
+                mvfs, *ref0u, *r1)
             packed = jnp.concatenate([
                 out[0][:geom.height, :geom.width].reshape(-1),
                 out[1][:ch, :cw].reshape(-1), out[2][:ch, :cw].reshape(-1)])
@@ -304,16 +361,18 @@ class GopRecon:
 
         (r0, r1), packs = jax.lax.scan(
             step, ((r0y, r0u, r0v), (r1y, r1u, r1v)),
-            (coeff, meta, is_b, is_ip))
+            (cblk, cidx, meta, is_b, is_ip))
         return (*r0, *r1, packs)
 
-    def _staging(self):
-        if self._stage is None:
+    def _staging(self, cap):
+        if self._stage.get(cap) is None:
             g = self.geom
-            self._stage = (
-                np.zeros((self.chunk, g.n_mb, g.blocks_per_mb, 64), np.int16),
+            n_rows = g.n_mb * g.blocks_per_mb
+            self._stage[cap] = (
+                np.empty((self.chunk, cap, 64), np.int16),
+                np.empty((self.chunk, n_rows), np.int32),
                 np.zeros((self.chunk, g.n_mb, META_COLS), np.int16))
-        return self._stage
+        return self._stage[cap]
 
     def __call__(self, tokens_list, pct_list, ref0=None, ref1=None):
         """tokens_list: up to ``chunk`` PictureTokens (padded internally with
@@ -322,14 +381,22 @@ class GopRecon:
         packed[:len(tokens_list)]."""
         t = len(tokens_list)
         assert 0 < t <= self.chunk
-        sc, sm = self._staging()
-        if self._stage_busy is not None:
-            jax.block_until_ready(self._stage_busy)
+        g = self.geom
+        n_rows = g.n_mb * g.blocks_per_mb
+        cap = _bucket(max(tok.n_coded_blocks for tok in tokens_list) + 1,
+                      n_rows + 1)
+        sc, ss, sm = self._staging(cap)
+        if self._stage_busy.get(cap) is not None:
+            jax.block_until_ready(self._stage_busy[cap])
         if t < self.chunk:
-            sc[t:] = 0
             sm[t:] = 0
+            ss[t:] = 0
+            sc[t:, 0] = 0  # padding pictures gather only the zero row
         for i, tok in enumerate(tokens_list):
-            np.copyto(sc[i], tok.coeff)
+            k = tok.n_coded_blocks
+            sc[i, :k] = tok.cblk[:k]
+            sc[i, k] = 0
+            _sparse_src_map(tok.cblk_idx, k, n_rows, dummy=k, out=ss[i])
             pack_meta(tok, out=sm[i])
         is_b = np.zeros(self.chunk, bool)
         is_b[:t] = [p == 3 for p in pct_list]
@@ -339,9 +406,9 @@ class GopRecon:
             ref0 = self.inner.zero_planes()
         if ref1 is None:
             ref1 = self.inner.zero_planes()
-        cj, mj = jnp.asarray(sc), jnp.asarray(sm)
-        self._stage_busy = (cj, mj)
-        out = self._fn(cj, mj, jnp.asarray(is_b),
+        up = (jnp.asarray(sc), jnp.asarray(ss), jnp.asarray(sm))
+        self._stage_busy[cap] = up
+        out = self._fn(*up, jnp.asarray(is_b),
                        jnp.asarray(is_ip), *ref0, *ref1)
         r0, r1, packs = out[0:3], out[3:6], out[6]
         return r0, r1, packs

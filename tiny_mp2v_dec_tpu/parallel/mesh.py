@@ -67,11 +67,15 @@ def pad_tokens_rows(tokens: PictureTokens, geom_padded: PictureGeometry) -> Pict
         out[:n_old] = a
         return out
 
-    return PictureTokens(
-        geom=geom_padded, coeff=ext(tokens.coeff), intra=ext(tokens.intra),
-        fwd=ext(tokens.fwd), bwd=ext(tokens.bwd),
+    # sparse coefficient rows are invariant under row padding (block indices
+    # are mb*blocks_per_mb+slot and added MBs append at the end)
+    out = PictureTokens(
+        geom=geom_padded, cblk=tokens.cblk, cblk_idx=tokens.cblk_idx,
+        intra=ext(tokens.intra), fwd=ext(tokens.fwd), bwd=ext(tokens.bwd),
         field_pred=ext(tokens.field_pred), dct_type=ext(tokens.dct_type),
         mv=ext(tokens.mv), mvfs=ext(tokens.mvfs), coded=ext(tokens.coded))
+    out.n_coded_blocks = tokens.n_coded_blocks
+    return out
 
 
 class RowShardedRecon:
@@ -111,7 +115,7 @@ class RowShardedRecon:
         ref0 = tuple(jax.device_put(p, self._rep) for p in ref0)
         ref1 = tuple(jax.device_put(p, self._rep) for p in ref1)
         return self._fn(
-            jnp.asarray(tokens.coeff), jnp.asarray(tokens.dct_type),
+            jnp.asarray(tokens.dense_coeff()), jnp.asarray(tokens.dct_type),
             jnp.asarray(tokens.fwd), jnp.asarray(tokens.bwd),
             jnp.asarray(tokens.field_pred), jnp.asarray(tokens.coded),
             jnp.asarray(tokens.mv), jnp.asarray(tokens.mvfs),
@@ -147,7 +151,7 @@ def random_tokens(rng, geom: PictureGeometry, p_coded=0.9) -> PictureTokens:
     n = geom.n_mb
     nb = geom.blocks_per_mb
     t = PictureTokens.empty(geom)
-    t.coeff[:] = rng.integers(-300, 300, (n, nb, 64)).astype(np.int16)
+    t.set_dense_coeff(rng.integers(-300, 300, (n, nb, 64)).astype(np.int16))
     t.coded[:] = rng.random(n) < p_coded
     t.intra[:] = rng.random(n) < 0.2
     t.fwd[:] = ~t.intra & (rng.random(n) < 0.8)

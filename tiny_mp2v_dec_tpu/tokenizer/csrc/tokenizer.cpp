@@ -161,7 +161,12 @@ struct PicParams {
 };
 
 struct TokenOut {
-  int16_t* coeff;   // (n_mb, n_blk, 64)
+  // Sparse coefficient emission: coded block k occupies cblk[k*64..k*64+63]
+  // with global block index cblk_idx[k] (= mb * n_blk + slot); *cblk_count
+  // is the shared row counter, claimed atomically by slice threads.
+  int16_t* cblk;      // (n_mb * n_blk, 64) capacity
+  int32_t* cblk_idx;  // (n_mb * n_blk,) capacity
+  int32_t* cblk_count;
   uint8_t* intra;
   uint8_t* fwd;
   uint8_t* bwd;
@@ -544,7 +549,10 @@ static int tokenize_slice(const uint8_t* data, size_t len, uint64_t bit_pos,
       if (!(cbp & (1 << b))) continue;
       bool luma = b < 4;
       int chroma_idx = luma ? 0 : 1 + ((b - 4) & 1);
-      int16_t* dst = out.coeff + (m * n_blocks + slot[b]) * 64;
+      int32_t k = __atomic_fetch_add(out.cblk_count, 1, __ATOMIC_RELAXED);
+      out.cblk_idx[k] = m * n_blocks + slot[b];
+      int16_t* dst = out.cblk + (size_t)k * 64;
+      memset(dst, 0, 64 * sizeof(int16_t));
       parse_block(r, p, st, dst, intra, luma, chroma_idx, b >= 6, &err);
       if (err) return err;
     }
@@ -593,4 +601,4 @@ extern "C" int mp2v_tokenize_picture(
   return error.load();
 }
 
-extern "C" int mp2v_tokenizer_abi_version() { return 1; }
+extern "C" int mp2v_tokenizer_abi_version() { return 2; }

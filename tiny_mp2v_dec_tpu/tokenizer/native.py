@@ -30,7 +30,9 @@ class _PicParams(C.Structure):
 
 class _TokenOut(C.Structure):
     _fields_ = [
-        ("coeff", C.POINTER(C.c_int16)),
+        ("cblk", C.POINTER(C.c_int16)),
+        ("cblk_idx", C.POINTER(C.c_int32)),
+        ("cblk_count", C.POINTER(C.c_int32)),
         ("intra", C.POINTER(C.c_uint8)),
         ("fwd", C.POINTER(C.c_uint8)),
         ("bwd", C.POINTER(C.c_uint8)),
@@ -54,7 +56,7 @@ def _load():
             C.c_char_p, C.c_size_t, C.POINTER(C.c_uint64),
             C.POINTER(C.c_int32), C.c_int, C.POINTER(_PicParams),
             C.POINTER(_TokenOut), C.c_int]
-        assert lib.mp2v_tokenizer_abi_version() == 1
+        assert lib.mp2v_tokenizer_abi_version() == 2
         _lib = lib
     return _lib
 
@@ -94,8 +96,11 @@ def native_tokenizer(num_threads: int = 0):
         C.memmove(p.quant_matrices, qm.ctypes.data, 256)
 
         # bool arrays are uint8-compatible in memory
+        count = np.zeros(1, np.int32)
         o = _TokenOut(
-            coeff=_ptr(tokens.coeff, C.c_int16),
+            cblk=_ptr(tokens.cblk, C.c_int16),
+            cblk_idx=_ptr(tokens.cblk_idx, C.c_int32),
+            cblk_count=_ptr(count, C.c_int32),
             intra=_ptr(tokens.intra, C.c_uint8),
             fwd=_ptr(tokens.fwd, C.c_uint8),
             bwd=_ptr(tokens.bwd, C.c_uint8),
@@ -111,6 +116,7 @@ def native_tokenizer(num_threads: int = 0):
         if rc != 0:
             raise ValueError(f"native tokenizer error {rc} "
                              f"(invalid VLC / run overflow / bad MB address)")
+        tokens.n_coded_blocks = int(count[0])
         return tokens
 
     return tokenize

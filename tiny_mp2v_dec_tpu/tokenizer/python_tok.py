@@ -435,7 +435,7 @@ def tokenize_slice(data: bytes, slice_bit_pos: int, start_code: int,
                 luma = b < 4
                 chroma_idx = 0 if luma else 1 + ((b - 4) & 1)
                 slot = block_slot[b]
-                _parse_block(r, params, st, tokens.coeff[m, slot],
+                _parse_block(r, params, st, tokens.alloc_block(m, slot),
                              intra, luma, chroma_idx, use_chroma_w=b >= 6)
 
         if r.peek(23) == 0:

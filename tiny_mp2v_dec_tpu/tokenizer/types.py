@@ -84,16 +84,26 @@ class PictureParams:
 
 @dataclass
 class PictureTokens:
-    """Dense reconstruction inputs for one picture.
+    """Reconstruction inputs for one picture.
 
     Block slot order within a macroblock: 4 luma blocks row-major
     ((0,0),(0,8),(8,0),(8,8)), then Cb blocks in spatial row-major order,
     then Cr blocks.  Coefficients are dequantised int16 in transposed-raster
     storage (see utils/scan.py); the DC of intra blocks is already
     prediction-resolved.
+
+    Coefficients are SPARSE — only coded blocks are stored (coded data is
+    typically a few percent of the dense volume, and the host->device upload
+    is a dominant cost, especially over remote-TPU transports):
+      ``cblk[:n_coded_blocks]``      (k, 64) int16 coefficient rows
+      ``cblk_idx[:n_coded_blocks]``  (k,) int32 global block index
+                                     (= mb_index * blocks_per_mb + slot)
+    The device reconstruction scatters IDCT outputs by ``cblk_idx``; tests
+    and the numpy golden path use :meth:`dense_coeff`.
     """
     geom: PictureGeometry
-    coeff: np.ndarray       # (n_mb, blocks_per_mb, 64) int16
+    cblk: np.ndarray        # (capacity, 64) int16 — rows [:n_coded_blocks] valid
+    cblk_idx: np.ndarray    # (capacity,) int32
     intra: np.ndarray       # (n_mb,) bool
     fwd: np.ndarray         # (n_mb,) bool — use forward prediction
     bwd: np.ndarray         # (n_mb,) bool
@@ -102,13 +112,19 @@ class PictureTokens:
     mv: np.ndarray          # (n_mb, 2, 2, 2) int16 [unit r][dir s][x, y] half-pel
     mvfs: np.ndarray        # (n_mb, 2, 2) uint8 motion_vertical_field_select
     coded: np.ndarray       # (n_mb,) bool — any residual present / mb coded in slice
+    n_coded_blocks: int = 0
+    _dense: Optional[np.ndarray] = field(default=None, repr=False)
 
     @classmethod
     def empty(cls, geom: PictureGeometry) -> "PictureTokens":
         n = geom.n_mb
+        cap = n * geom.blocks_per_mb
         return cls(
             geom=geom,
-            coeff=np.zeros((n, geom.blocks_per_mb, 64), np.int16),
+            # np.empty: rows are zeroed at allocation time (alloc_block) so
+            # the whole capacity never needs a memset
+            cblk=np.empty((cap, 64), np.int16),
+            cblk_idx=np.empty(cap, np.int32),
             intra=np.zeros(n, bool),
             fwd=np.zeros(n, bool),
             bwd=np.zeros(n, bool),
@@ -118,3 +134,33 @@ class PictureTokens:
             mvfs=np.zeros((n, 2, 2), np.uint8),
             coded=np.zeros(n, bool),
         )
+
+    def alloc_block(self, mb_index: int, slot: int) -> np.ndarray:
+        """Claim the next sparse row for block ``slot`` of ``mb_index``;
+        returns the zeroed (64,) int16 coefficient row to fill."""
+        k = self.n_coded_blocks
+        self.cblk_idx[k] = mb_index * self.geom.blocks_per_mb + slot
+        row = self.cblk[k]
+        row.fill(0)
+        self.n_coded_blocks = k + 1
+        self._dense = None
+        return row
+
+    def dense_coeff(self) -> np.ndarray:
+        """(n_mb, blocks_per_mb, 64) int16 densified coefficients (cached)."""
+        if self._dense is None:
+            n_rows = self.geom.n_mb * self.geom.blocks_per_mb
+            d = np.zeros((n_rows, 64), np.int16)
+            k = self.n_coded_blocks
+            d[self.cblk_idx[:k]] = self.cblk[:k]
+            self._dense = d.reshape(self.geom.n_mb, self.geom.blocks_per_mb, 64)
+        return self._dense
+
+    def set_dense_coeff(self, coeff: np.ndarray) -> None:
+        """Adopt a dense (n_mb, blocks_per_mb, 64) array (helper for
+        synthetic tokens): every block becomes a sparse row."""
+        cap = self.geom.n_mb * self.geom.blocks_per_mb
+        self.cblk = np.ascontiguousarray(coeff, np.int16).reshape(cap, 64)
+        self.cblk_idx = np.arange(cap, dtype=np.int32)
+        self.n_coded_blocks = cap
+        self._dense = None

@@ -37,7 +37,7 @@ def main():
                   jnp.asarray(rng.integers(0, 256, (ch, cw)).astype(np.uint8)),
                   jnp.asarray(rng.integers(0, 256, (ch, cw)).astype(np.uint8)))
     r0, r1 = mk(), mk()
-    args = (jnp.asarray(t.coeff), jnp.asarray(t.dct_type), jnp.asarray(t.fwd),
+    args = (jnp.asarray(t.dense_coeff()), jnp.asarray(t.dct_type), jnp.asarray(t.fwd),
             jnp.asarray(t.bwd), jnp.asarray(t.field_pred), jnp.asarray(t.coded),
             jnp.asarray(t.mv), jnp.asarray(t.mvfs), *r0, *r1)
 

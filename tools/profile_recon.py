@@ -38,7 +38,7 @@ def main():
     ch, cw = geom.chroma_padded
     print("backend:", jax.default_backend())
     n = geom.n_mb
-    coeff = jnp.asarray(t.coeff)
+    coeff = jnp.asarray(t.dense_coeff())
 
     timeit("idct_pallas (48960 blocks)", lambda c: idct_blocks_pallas(c.reshape(-1, 64)), coeff)
     timeit("idct_jnp", lambda c: idct_blocks_jnp(c), coeff)
