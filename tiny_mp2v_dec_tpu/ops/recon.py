@@ -20,6 +20,7 @@ from ..headers import CHROMA_420
 from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureTokens
 from .idct import idct_blocks_jnp, idct_blocks_pallas
 from .mc import (mc_bidir_tiles, mc_field_tiles, mc_unidir_tiles, pad_for_mc)
+from .mc_pallas import fused_mc_recon, mc_meta, pad_ref_plane
 
 
 def _tiles_from_blocks(blocks, rows, cols, interleave_mask):
@@ -113,12 +114,22 @@ class DeviceRecon:
     """
 
     def __init__(self, geom: PictureGeometry, field_support: bool = True,
-                 use_pallas_idct: bool | None = None):
+                 use_pallas_idct: bool | None = None,
+                 use_pallas_mc: bool | None = None,
+                 pallas_interpret: bool = False):
         self.geom = geom
         self.field_support = field_support
+        on_tpu = jax.default_backend() == "tpu"
         if use_pallas_idct is None:
-            use_pallas_idct = jax.default_backend() == "tpu"
+            use_pallas_idct = on_tpu
         self.use_pallas_idct = use_pallas_idct
+        # The fused Pallas MC kernel covers frame-based prediction; pictures
+        # with field-based MBs take the XLA gather path (rare: only streams
+        # with frame_pred_frame_dct=0 field-motion macroblocks).
+        if use_pallas_mc is None:
+            use_pallas_mc = on_tpu
+        self.use_pallas_mc = use_pallas_mc and not field_support
+        self.pallas_interpret = pallas_interpret
 
         xs, ys, n_cb = CHROMA_INFO[geom.chroma_format]
         mbw, mbh = geom.mb_width, geom.mb_height
@@ -184,7 +195,7 @@ class DeviceRecon:
         sparse-row index per dense block (see _sparse_src_map)."""
         geom = self.geom
         if self.use_pallas_idct:
-            res = idct_blocks_pallas(cblk)
+            res = idct_blocks_pallas(cblk, interpret=self.pallas_interpret)
         else:
             res = idct_blocks_jnp(cblk)
         dense = res.reshape(cblk.shape[0], 64)[src]
@@ -196,7 +207,9 @@ class DeviceRecon:
         recon and the driver compile check)."""
         n = self.geom.n_mb
         if self.use_pallas_idct:
-            residual = idct_blocks_pallas(coeff.reshape(-1, 64)).reshape(
+            residual = idct_blocks_pallas(
+                coeff.reshape(-1, 64),
+                interpret=self.pallas_interpret).reshape(
                 n, self.geom.blocks_per_mb, 8, 8)
         else:
             residual = idct_blocks_jnp(coeff)
@@ -221,6 +234,8 @@ class DeviceRecon:
 
         # --- prediction ---
         refs = {0: (r0y, r1y), 1: (r0u, r1u), 2: (r0v, r1v)}
+        if self.use_pallas_mc:
+            return self._planes_pallas(res, refs, fwd, bwd, coded, mv)
         planes = []
         for comp in range(3):
             p0, p1 = refs[comp]
@@ -243,11 +258,51 @@ class DeviceRecon:
             planes.append(_plane_from_tiles(tile, mbh, mbw, h, w))
         return tuple(planes)
 
+    def _planes_pallas(self, res, refs, fwd, bwd, coded, mv):
+        """Fused-kernel reconstruction: per component, assemble the int16
+        residual in plane layout, then one Pallas call does MC (fwd+bwd
+        window gathers, half-pel phase select, bidir average), residual add,
+        saturation and uncoded masking in a single pass (ops/mc_pallas.py)."""
+        geom = self.geom
+        cf = geom.chroma_format
+        xs, ys, _ = CHROMA_INFO[cf]
+        mode = (fwd.astype(jnp.int32) + 2 * bwd.astype(jnp.int32)
+                + 4 * coded.astype(jnp.int32))
+        mbh, mbw = geom.mb_height, geom.mb_width
+        planes = []
+        for comp in range(3):
+            h = 16 if comp == 0 else 16 >> ys
+            w = 16 if comp == 0 else 16 >> xs
+            H, W = mbh * h, mbw * w
+            res_plane = _plane_from_tiles(res[comp], mbh, mbw, h, w)
+            pos_y, pos_x = self._pos[0 if comp == 0 else 1]
+            mvc = _scale_mv(mv, comp, cf)
+            syf, sxf, phf = mc_meta(pos_y, pos_x, mvc[:, 0, 0, 0],
+                                    mvc[:, 0, 0, 1], H, W, h, w)
+            syb, sxb, phb = mc_meta(pos_y, pos_x, mvc[:, 0, 1, 0],
+                                    mvc[:, 0, 1, 1], H, W, h, w)
+            p0, p1 = refs[comp]
+            planes.append(fused_mc_recon(
+                pad_ref_plane(p0, h, w), pad_ref_plane(p1, h, w), res_plane,
+                syf, sxf, phf, syb, sxb, phb, mode,
+                h=h, w=w, H=H, W=W, interpret=self.pallas_interpret))
+        return tuple(planes)
+
     def _recon_packed(self, cblk, cidx, meta, r0y, r0u, r0v, r1y, r1u, r1v):
         """Packed sparse-interface recon: coded coefficient rows + indices +
         one int16 metadata array in, and an extra flat uint8 output holding
         the three cropped planes concatenated — minimal host<->device
-        traffic per picture."""
+        traffic per picture.
+
+        All inputs arrive FLAT (1-D) and are reshaped on device: host->device
+        transfers of multi-dim arrays whose minor dim is below the TPU tile
+        (e.g. (..., 64) int16 vs the (16, 128) tile) force a host-side
+        relayout/padding repack in PJRT that is ~10x slower than the flat
+        byte copy (measured: 100 MB chunk upload 1263 ms as (16, cap, 64)
+        vs 113 ms flat)."""
+        n = self.geom.n_mb
+        cblk = cblk.reshape(-1, 64)
+        meta = meta.reshape(n, META_COLS)
         dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(meta)
         residual = self._residual_sparse(cblk, cidx)
         y, u, v = self._recon_from_residual(
@@ -295,7 +350,9 @@ class DeviceRecon:
         sc[k] = 0  # the zero row uncoded blocks gather from
         _sparse_src_map(tokens.cblk_idx, k, n_rows, dummy=k, out=ss)
         pack_meta(tokens, out=sm)
-        out = (jnp.asarray(sc), jnp.asarray(ss), jnp.asarray(sm))
+        # flat views: avoid the PJRT sub-tile relayout (see _recon_packed)
+        out = (jnp.asarray(sc.reshape(-1)), jnp.asarray(ss),
+               jnp.asarray(sm.reshape(-1)))
         self._stage_busy[idx] = out
         return out
 
@@ -324,11 +381,15 @@ class GopRecon:
 
     def __init__(self, geom: PictureGeometry, chunk: int,
                  field_support: bool = False,
-                 use_pallas_idct: bool | None = None):
+                 use_pallas_idct: bool | None = None,
+                 use_pallas_mc: bool | None = None,
+                 pallas_interpret: bool = False):
         self.geom = geom
         self.chunk = chunk
         self.inner = DeviceRecon(geom, field_support=field_support,
-                                 use_pallas_idct=use_pallas_idct)
+                                 use_pallas_idct=use_pallas_idct,
+                                 use_pallas_mc=use_pallas_mc,
+                                 pallas_interpret=pallas_interpret)
         self._fn = jax.jit(self._gop)
         self._stage = {}       # keyed by coded-block bucket capacity
         self._stage_busy = {}  # see DeviceRecon._upload slot guard
@@ -337,6 +398,10 @@ class GopRecon:
              r0y, r0u, r0v, r1y, r1u, r1v):
         inner = self.inner
         geom = self.geom
+        # flat-upload reshapes (see DeviceRecon._recon_packed)
+        cblk = cblk.reshape(self.chunk, -1, 64)
+        cidx = cidx.reshape(self.chunk, -1)
+        meta = meta.reshape(self.chunk, geom.n_mb, META_COLS)
         xs_, ys_, _ = CHROMA_INFO[geom.chroma_format]
         cw = (geom.width + (1 << xs_) - 1) >> xs_
         ch = (geom.height + (1 << ys_) - 1) >> ys_
@@ -406,7 +471,8 @@ class GopRecon:
             ref0 = self.inner.zero_planes()
         if ref1 is None:
             ref1 = self.inner.zero_planes()
-        up = (jnp.asarray(sc), jnp.asarray(ss), jnp.asarray(sm))
+        up = (jnp.asarray(sc.reshape(-1)), jnp.asarray(ss.reshape(-1)),
+              jnp.asarray(sm.reshape(-1)))
         self._stage_busy[cap] = up
         out = self._fn(*up, jnp.asarray(is_b),
                        jnp.asarray(is_ip), *ref0, *ref1)

@@ -44,6 +44,11 @@ class DecoderConfig:
     # consumers and for throughput measurement (the reference's README
     # likewise advises timing with file output off, README.md:48).
     output_host: bool = True
+    # Pallas kernel selection: None = auto (on for TPU backends, off
+    # elsewhere); pallas_interpret runs the kernels in interpret mode so the
+    # TPU code path is testable on CPU.
+    use_pallas: Optional[bool] = None
+    pallas_interpret: bool = False
 
 
 class LazyFrame:
@@ -129,10 +134,16 @@ class MP2VDecoder:
                       "output_s": 0.0}
 
     # ------------------------------------------------------------------
+    def _pallas_opts(self):
+        c = self.config
+        return dict(use_pallas_idct=c.use_pallas, use_pallas_mc=c.use_pallas,
+                    pallas_interpret=c.pallas_interpret)
+
     def _recon_for(self, geom: PictureGeometry, field_support: bool) -> DeviceRecon:
         key = (geom, field_support)
         if key not in self._recons:
-            self._recons[key] = DeviceRecon(geom, field_support=field_support)
+            self._recons[key] = DeviceRecon(geom, field_support=field_support,
+                                            **self._pallas_opts())
         return self._recons[key]
 
     def _gop_recon_for(self, geom: PictureGeometry, field_support: bool):
@@ -140,7 +151,8 @@ class MP2VDecoder:
         key = (geom, field_support, "gop")
         if key not in self._recons:
             self._recons[key] = GopRecon(geom, self.config.gop_chunk,
-                                         field_support=field_support)
+                                         field_support=field_support,
+                                         **self._pallas_opts())
         return self._recons[key]
 
     def _emit(self, pending) -> None:

@@ -26,15 +26,27 @@ def ensure_tables() -> None:
         run([sys.executable, gen], check=True)
 
 
-def build(force: bool = False) -> str:
+def build(force: bool = False, asan: bool = False) -> str:
     ensure_tables()
-    if (not force and os.path.exists(LIB)
-            and os.path.getmtime(LIB) > max(os.path.getmtime(SRC),
+    lib = LIB[:-3] + "_asan.so" if asan else LIB
+    if (not force and os.path.exists(lib)
+            and os.path.getmtime(lib) > max(os.path.getmtime(SRC),
                                             os.path.getmtime(INC))):
-        return LIB
-    cmd = ["g++", *CXXFLAGS, SRC, "-o", LIB, "-lpthread"]
+        return lib
+    flags = CXXFLAGS + (["-fsanitize=address", "-g", "-fno-omit-frame-pointer"]
+                        if asan else [])
+    cmd = ["g++", *flags, SRC, "-o", lib, "-lpthread"]
     subprocess.run(cmd, check=True)
-    return LIB
+    return lib
+
+
+def libasan_path() -> str | None:
+    """Path to the ASan runtime to LD_PRELOAD when loading the asan build
+    into a non-instrumented python."""
+    out = subprocess.run(["g++", "-print-file-name=libasan.so"],
+                         capture_output=True, text=True)
+    p = out.stdout.strip()
+    return p if p and os.path.sep in p and os.path.exists(p) else None
 
 
 if __name__ == "__main__":

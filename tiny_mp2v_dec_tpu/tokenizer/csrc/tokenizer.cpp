@@ -175,6 +175,10 @@ struct TokenOut {
   uint8_t* coded;
   int16_t* mv;      // (n_mb, 2, 2, 2)
   uint8_t* mvfs;    // (n_mb, 2, 2)
+  // capacity of cblk/cblk_idx in rows; claims past it are a stream error
+  // (e.g. duplicated slice vertical positions re-coding the same MB rows),
+  // not a buffer overrun
+  int32_t cblk_capacity;
 };
 }  // extern "C"
 
@@ -550,6 +554,7 @@ static int tokenize_slice(const uint8_t* data, size_t len, uint64_t bit_pos,
       bool luma = b < 4;
       int chroma_idx = luma ? 0 : 1 + ((b - 4) & 1);
       int32_t k = __atomic_fetch_add(out.cblk_count, 1, __ATOMIC_RELAXED);
+      if (k >= out.cblk_capacity) return 5;
       out.cblk_idx[k] = m * n_blocks + slot[b];
       int16_t* dst = out.cblk + (size_t)k * 64;
       memset(dst, 0, 64 * sizeof(int16_t));
@@ -601,4 +606,4 @@ extern "C" int mp2v_tokenize_picture(
   return error.load();
 }
 
-extern "C" int mp2v_tokenizer_abi_version() { return 2; }
+extern "C" int mp2v_tokenizer_abi_version() { return 3; }

@@ -41,6 +41,7 @@ class _TokenOut(C.Structure):
         ("coded", C.POINTER(C.c_uint8)),
         ("mv", C.POINTER(C.c_int16)),
         ("mvfs", C.POINTER(C.c_uint8)),
+        ("cblk_capacity", C.c_int32),
     ]
 
 
@@ -50,13 +51,15 @@ _lib = None
 def _load():
     global _lib
     if _lib is None:
-        lib = C.CDLL(build())
+        import os
+        asan = os.environ.get("MP2V_TOKENIZER_ASAN") == "1"
+        lib = C.CDLL(build(asan=asan))
         lib.mp2v_tokenize_picture.restype = C.c_int
         lib.mp2v_tokenize_picture.argtypes = [
             C.c_char_p, C.c_size_t, C.POINTER(C.c_uint64),
             C.POINTER(C.c_int32), C.c_int, C.POINTER(_PicParams),
             C.POINTER(_TokenOut), C.c_int]
-        assert lib.mp2v_tokenizer_abi_version() == 2
+        assert lib.mp2v_tokenizer_abi_version() == 3
         _lib = lib
     return _lib
 
@@ -109,13 +112,15 @@ def native_tokenizer(num_threads: int = 0):
             coded=_ptr(tokens.coded, C.c_uint8),
             mv=_ptr(tokens.mv, C.c_int16),
             mvfs=_ptr(tokens.mvfs, C.c_uint8),
+            cblk_capacity=tokens.cblk.shape[0],
         )
         rc = lib.mp2v_tokenize_picture(
             data, len(data), _ptr(bitpos, C.c_uint64), _ptr(codes, C.c_int32),
             len(slices), C.byref(p), C.byref(o), num_threads)
         if rc != 0:
-            raise ValueError(f"native tokenizer error {rc} "
-                             f"(invalid VLC / run overflow / bad MB address)")
+            raise ValueError(
+                f"native tokenizer error {rc} (invalid VLC / run overflow / "
+                f"bad MB address / coefficient capacity exceeded)")
         tokens.n_coded_blocks = int(count[0])
         return tokens
 
