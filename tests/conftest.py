@@ -19,9 +19,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# The CPU client's async dispatch intermittently corrupts results in this
-# environment (isolated zeroed/garbage blocks in outputs under in-process
-# compile pressure; reproduced only inside the test suite, never standalone,
-# with host staging reuse fully guarded and the native tokenizer ASan-clean).
-# Conformance tests are a correctness gate, so dispatch synchronously here.
-jax.config.update("jax_cpu_enable_async_dispatch", False)
+# Async CPU dispatch stays ON.  The intermittent corruption this flag once
+# masked was root-caused (r3): the JAX CPU client zero-copy ALIASES small
+# aligned numpy arrays in jnp.asarray, so reusing a host staging buffer
+# while an async computation still reads it corrupted inputs.  Staging
+# slots are now guarded by the consuming computation's outputs
+# (ops/recon.py), which fixes it under async dispatch.

@@ -1,0 +1,127 @@
+"""Multi-device correctness: sharded reconstruction must equal the
+single-device / golden result BIT-FOR-BIT on real decoded streams —
+including pictures whose motion vectors cross shard row bands.
+
+This is the value-level scheduler test the reference approximates with its
+synthetic-DAG threads stress (reference:
+test/gtest/threads/threads_test.cpp:73-74); on TPU the equivalent hazard is
+a wrong halo/boundary at shard seams, so equality is asserted on content
+with cross-band motion.  Runs on the 8-virtual-CPU-device mesh (conftest).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from m2v_encoder import encode_stream, random_picture
+from tiny_mp2v_dec_tpu import DecoderConfig, MP2VDecoder, headers as H
+from tiny_mp2v_dec_tpu.golden.decoder import GoldenDecoder
+from tiny_mp2v_dec_tpu.parallel.mesh import (RowShardedRecon,
+                                             StreamBatchRecon, make_mesh)
+
+N_DEV = 8
+
+
+def _stream(seed, n_pics=5, mbw=4, mbh=8, chroma=H.CHROMA_420,
+            pcts=(H.PCT_I, H.PCT_P, H.PCT_B, H.PCT_P, H.PCT_B)):
+    """mbh=8 on an 8-way row mesh -> ONE macroblock row per shard: every
+    nonzero vertical MV (f_code up to 4 -> +-32 px) crosses shard bands."""
+    rng = np.random.default_rng(seed)
+    pics = []
+    for i, pct in enumerate(pcts):
+        p = random_picture(rng, mbw, mbh, chroma, pct)
+        p.temporal_reference = i
+        pics.append(p)
+    return encode_stream(mbw * 16, mbh * 16, chroma, pics)
+
+
+def _golden_frames(data):
+    return GoldenDecoder().decode(data)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= N_DEV
+    return make_mesh(N_DEV, axes=("row",))
+
+
+def test_row_sharded_decoder_bitexact_vs_golden():
+    """End-to-end: MP2VDecoder(mesh='rows') == golden, cross-band MVs."""
+    data = _stream(1)
+    exp = _golden_frames(data)
+    dec = MP2VDecoder(DecoderConfig(mesh="rows", mesh_devices=N_DEV))
+    got = dec.decode(data)
+    assert len(got) == len(exp)
+    for a, b in zip(exp, got):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.u, b.u)
+        np.testing.assert_array_equal(a.v, b.v)
+
+
+def test_row_sharded_matches_single_device_chain():
+    """RowShardedRecon chained over an I->P->B sequence equals the
+    single-device DeviceRecon chain on identical tokens."""
+    from tiny_mp2v_dec_tpu.ops.recon import DeviceRecon
+
+    data = _stream(2)
+    dec = MP2VDecoder(DecoderConfig())
+    seq = dec.tokenize_stream(data)
+    geom = seq[0][1]
+    mesh = make_mesh(N_DEV, axes=("row",))
+    rs = RowShardedRecon(geom, mesh, field_support=True)
+    sd = DeviceRecon(geom, field_support=True)
+
+    refs_s = [None, None]
+    refs_d = [None, None]
+    for tokens, _, ph in seq:
+        pct = ph.picture_coding_type
+        if pct in (H.PCT_I, H.PCT_P):
+            a0, a1 = refs_s[1], None
+            b0, b1 = refs_d[1], None
+        else:
+            a0, a1 = refs_s
+            b0, b1 = refs_d
+        ps = rs(tokens, a0, a1)
+        pd = sd(tokens, b0, b1)
+        for x, y in zip(ps, pd):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        if pct in (H.PCT_I, H.PCT_P):
+            refs_s = [refs_s[1], ps]
+            refs_d = [refs_d[1], pd]
+
+
+def test_stream_batch_bitexact_vs_golden():
+    """decode_batch over 16 streams on 8 devices == per-stream golden."""
+    streams = [_stream(100 + i) for i in range(16)]
+    dec = MP2VDecoder(DecoderConfig())
+    got = dec.decode_batch(streams)
+    assert len(got) == 16
+    for s, frames in zip(streams, got):
+        exp = _golden_frames(s)
+        assert len(frames) == len(exp)
+        for a, b in zip(exp, frames):
+            np.testing.assert_array_equal(a.y, b.y)
+            np.testing.assert_array_equal(a.u, b.u)
+            np.testing.assert_array_equal(a.v, b.v)
+
+
+def test_stream_batch_recon_matches_single(mesh8):
+    """StreamBatchRecon output rows equal independent DeviceRecon runs."""
+    from tiny_mp2v_dec_tpu.ops.recon import DeviceRecon
+
+    streams = [_stream(200 + i, pcts=(H.PCT_I,)) for i in range(N_DEV)]
+    dec = MP2VDecoder(DecoderConfig())
+    toks = []
+    for s in streams:
+        dec.reset()
+        toks.append(dec.tokenize_stream(s)[0][0])
+    geom = toks[0].geom
+    mesh = make_mesh(N_DEV, axes=("stream",))
+    sb = StreamBatchRecon(geom, mesh, field_support=False)
+    y, u, v = sb(toks)
+    sd = DeviceRecon(geom, field_support=False)
+    for i, t in enumerate(toks):
+        exp = sd(t)
+        np.testing.assert_array_equal(np.asarray(y[i]), np.asarray(exp[0]))
+        np.testing.assert_array_equal(np.asarray(u[i]), np.asarray(exp[1]))
+        np.testing.assert_array_equal(np.asarray(v[i]), np.asarray(exp[2]))

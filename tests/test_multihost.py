@@ -1,0 +1,91 @@
+"""Multi-host GOP distribution: the closed-GOP splitter and the simulated
+N-process decoder must reproduce the single-decoder output byte-for-byte in
+display order (SURVEY §5.8 / PR5 — the DCN-level analog of the reference's
+picture-DAG scheduling, reference: src/core/threads.cpp:100-159)."""
+import numpy as np
+import pytest
+
+from m2v_encoder import encode_stream, random_picture
+from tiny_mp2v_dec_tpu import DecoderConfig, MP2VDecoder, headers as H
+from tiny_mp2v_dec_tpu.parallel.hosts import (GopChunk, MultiHostDecoder,
+                                              split_gops)
+
+SEQ_END = bytes([0, 0, 1, H.SEQUENCE_END_CODE])
+
+
+def _gop_stream(seed, n_pics=4, mbw=4, mbh=3):
+    rng = np.random.default_rng(seed)
+    pcts = [H.PCT_I] + [H.PCT_P, H.PCT_B, H.PCT_B, H.PCT_P][:n_pics - 1]
+    pics = []
+    for i, pct in enumerate(pcts):
+        p = random_picture(rng, mbw, mbh, H.CHROMA_420, pct)
+        p.temporal_reference = i
+        pics.append(p)
+    return encode_stream(mbw * 16, mbh * 16, H.CHROMA_420, pics)
+
+
+def _multi_gop_stream(n_gops, seed0=50, **kw):
+    """Concatenate closed GOPs (each with its own sequence header) into one
+    stream; only the last keeps the sequence_end code."""
+    parts = []
+    for i in range(n_gops):
+        s = _gop_stream(seed0 + i, **kw)
+        assert s.endswith(SEQ_END)
+        parts.append(s[:-len(SEQ_END)] if i < n_gops - 1 else s)
+    return b"".join(parts)
+
+
+def test_split_gops_boundaries():
+    data = _multi_gop_stream(3, n_pics=4)
+    chunks = split_gops(data)
+    assert len(chunks) == 3
+    assert all(c.n_pictures == 4 for c in chunks)
+    # every chunk decodes standalone to the same frames as its source GOP
+    for i, c in enumerate(chunks):
+        dec = MP2VDecoder(DecoderConfig())
+        frames = dec.decode(c.data)
+        exp = MP2VDecoder(DecoderConfig()).decode(_gop_stream(50 + i))
+        assert len(frames) == len(exp)
+        for a, b in zip(frames, exp):
+            np.testing.assert_array_equal(a.y, b.y)
+
+
+def test_split_gops_open_gop_stays_attached():
+    """An open GOP (closed_gop=0) must not become its own chunk."""
+    data = _multi_gop_stream(2)
+    # flip the second GOP header's closed_gop bit (byte after the 25-bit
+    # time_code within the group header)
+    from tiny_mp2v_dec_tpu.golden.decoder import scan_start_codes
+    offs = [int(o) for o in scan_start_codes(data)]
+    gops = [o for o in offs if data[o + 3] == H.GROUP_START_CODE]
+    assert len(gops) == 2
+    b = bytearray(data)
+    # group header layout: 25b time_code, 1b closed_gop, 1b broken_link
+    # -> closed_gop is bit 6 (0x40) of byte 3 after the start code
+    hdr = gops[1] + 4
+    b[hdr + 3] &= ~0x40
+    chunks = split_gops(bytes(b))
+    # second GOP is open -> merged with the first sequence's chunk
+    assert len(chunks) == 1 or (len(chunks) == 2 and chunks[0].n_pictures == 8)
+    # NOTE: each GOP here follows its own sequence header, which is always a
+    # legal cut; drop the second sequence header too for a strict check
+    data2 = bytes(b)
+    sh = [o for o in offs if data2[o + 3] == H.SEQUENCE_HEADER_CODE]
+    if len(sh) == 2:
+        ext_end = gops[1]
+        data3 = data2[:sh[1]] + data2[ext_end:]
+        chunks3 = split_gops(data3)
+        assert len(chunks3) == 1
+        assert chunks3[0].n_pictures == 8
+
+
+@pytest.mark.parametrize("n_hosts", [1, 2])
+def test_multihost_bitexact_display_order(n_hosts):
+    data = _multi_gop_stream(4, n_pics=4)
+    single = MP2VDecoder(DecoderConfig()).decode(data)
+    exp = [f.tobytes() for f in single]
+    with MultiHostDecoder(n_hosts, platform="cpu") as mh:
+        got = mh.decode(data)
+    assert len(got) == len(exp) == 16
+    for a, b in zip(exp, got):
+        assert a == b

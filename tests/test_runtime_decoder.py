@@ -68,3 +68,23 @@ def test_runtime_decoder_reuse():
     dec.reset()
     b = dec.decode(data)
     _assert_frames_equal(a, b)
+
+
+def test_user_data_captured():
+    """user_data start codes are captured verbatim (reference:
+    decoder.cpp:194-200)."""
+    from tiny_mp2v_dec_tpu.headers import BitWriter, USER_DATA_START_CODE
+
+    rng = np.random.default_rng(5)
+    data = _random_ipb_stream(rng, 2, 2, H.CHROMA_420)
+    # splice a user-data segment right after the sequence extension (before
+    # the GOP header start code 0xB8)
+    gop_sc = data.index(bytes([0, 0, 1, 0xB8]))
+    payload = b"hello-mp2v"  # must not contain a start-code prefix
+    ud = bytes([0, 0, 1, USER_DATA_START_CODE]) + payload
+    spliced = data[:gop_sc] + ud + data[gop_sc:]
+    dec = MP2VDecoder(DecoderConfig())
+    frames = dec.decode(spliced)
+    assert dec.user_data == [payload]
+    # decode result unchanged by the user data
+    _assert_frames_equal(decode_stream(spliced), frames)

@@ -27,17 +27,50 @@ def main(argv=None) -> int:
                     help="benchmark: decode N times after warm-up, print fps")
     ap.add_argument("--golden", action="store_true",
                     help="use the numpy golden decoder (no accelerator)")
+    ap.add_argument("--size", metavar="WxH",
+                    help="override coded size from the sequence header")
+    ap.add_argument("--chroma", choices=["420", "422", "444"],
+                    help="override chroma format from the sequence extension")
+    ap.add_argument("--gop-chunk", type=int, default=0, metavar="N",
+                    help="decode N pictures per compiled device program "
+                         "(throughput mode; 0 = picture at a time)")
+    ap.add_argument("--mesh", choices=["rows"],
+                    help="shard each picture's MB rows across local chips")
+    ap.add_argument("--hosts", type=int, default=0, metavar="N",
+                    help="distribute closed GOPs over N worker processes")
     args = ap.parse_args(argv)
 
     with open(args.video, "rb") as f:
         data = f.read()
 
-    if args.golden:
+    w = h = 0
+    if args.size:
+        w, h = (int(x) for x in args.size.lower().split("x"))
+    chroma = {None: 0, "420": 1, "422": 2, "444": 3}[args.chroma]
+
+    if args.hosts:
+        from .parallel.hosts import MultiHostDecoder
+        mh = MultiHostDecoder(args.hosts, config_kwargs=dict(
+            reordering=not args.no_reorder, width=w, height=h,
+            chroma_format=chroma, gop_chunk=args.gop_chunk))
+
+        class _F:  # minimal frame shim: MultiHostDecoder returns raw bytes
+            def __init__(self, b):
+                self._b = b
+
+            def tobytes(self):
+                return self._b
+
+        decode = lambda: [_F(b) for b in mh.decode(data)]
+    elif args.golden:
         from .golden.decoder import decode_stream
         decode = lambda: decode_stream(data, reordering=not args.no_reorder)
     else:
         from .runtime.decoder import DecoderConfig, MP2VDecoder
-        dec = MP2VDecoder(DecoderConfig(reordering=not args.no_reorder))
+        dec = MP2VDecoder(DecoderConfig(
+            reordering=not args.no_reorder, width=w, height=h,
+            chroma_format=chroma, gop_chunk=args.gop_chunk,
+            mesh=args.mesh))
 
         def decode():
             dec.reset()

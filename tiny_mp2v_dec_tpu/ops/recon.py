@@ -84,36 +84,48 @@ def _unpack_meta(meta):
 
 
 # Compact chunk-path metadata: one flags column (bit0 dct_type, 1 fwd,
-# 2 bwd, 3 field_pred, 4 coded, 5..8 mvfs[r][s] at bit 5+2r+s) + 8 MV
-# columns — 18 B/MB instead of 34 (upload bytes dominate on tunneled
-# transports).
-META2_COLS = 9
+# 2 bwd, 3 field_pred, 4 coded, 5..8 mvfs[r][s] at bit 5+2r+s) + MV
+# columns — upload bytes dominate on tunneled transports.  Frame-pred-only
+# chunks (field_support=False) carry just the first-unit MVs (5 cols);
+# field-capable chunks carry all 8 + mvfs (9 cols).
+def meta2_cols(field_support: bool) -> int:
+    return 9 if field_support else 5
 
 
-def pack_meta2(tokens: PictureTokens, out: np.ndarray | None = None) -> np.ndarray:
+def pack_meta2(tokens: PictureTokens, field_support: bool,
+               out: np.ndarray | None = None) -> np.ndarray:
     n = tokens.geom.n_mb
-    meta = out if out is not None else np.zeros((n, META2_COLS), np.int16)
+    cols = meta2_cols(field_support)
+    meta = out if out is not None else np.zeros((n, cols), np.int16)
     flags = (tokens.dct_type.astype(np.int16)
              | (tokens.fwd.astype(np.int16) << 1)
              | (tokens.bwd.astype(np.int16) << 2)
              | (tokens.field_pred.astype(np.int16) << 3)
              | (tokens.coded.astype(np.int16) << 4))
-    mvfs = tokens.mvfs.reshape(n, 4).astype(np.int16)
-    for b in range(4):
-        flags |= mvfs[:, b] << (5 + b)
+    if field_support:
+        mvfs = tokens.mvfs.reshape(n, 4).astype(np.int16)
+        for b in range(4):
+            flags |= mvfs[:, b] << (5 + b)
+        meta[:, 1:9] = tokens.mv.reshape(n, 8)
+    else:
+        meta[:, 1:5] = tokens.mv[:, 0].reshape(n, 4)
     meta[:, 0] = flags
-    meta[:, 1:9] = tokens.mv.reshape(n, 8)
     return meta
 
 
-def _unpack_meta2(meta):
+def _unpack_meta2(meta, field_support: bool):
     n = meta.shape[0]
     flags = meta[:, 0]
-    mvfs = jnp.stack([(flags >> (5 + b)) & 1 for b in range(4)],
-                     axis=-1).reshape(n, 2, 2).astype(jnp.uint8)
+    if field_support:
+        mvfs = jnp.stack([(flags >> (5 + b)) & 1 for b in range(4)],
+                         axis=-1).reshape(n, 2, 2).astype(jnp.uint8)
+        mv = meta[:, 1:9].reshape(n, 2, 2, 2)
+    else:
+        mvfs = jnp.zeros((n, 2, 2), jnp.uint8)
+        mv1 = meta[:, 1:5].reshape(n, 1, 2, 2)
+        mv = jnp.concatenate([mv1, jnp.zeros_like(mv1)], axis=1)
     return ((flags & 1) != 0, (flags & 2) != 0, (flags & 4) != 0,
-            (flags & 8) != 0, (flags & 16) != 0,
-            meta[:, 1:9].reshape(n, 2, 2, 2), mvfs)
+            (flags & 8) != 0, (flags & 16) != 0, mv, mvfs)
 
 
 def _bucket(n: int, cap_max: int) -> int:
@@ -193,10 +205,14 @@ class DeviceRecon:
         # numpy memory pays a large per-buffer registration cost on remote
         # TPU transports; reusing pinned staging memory makes h2d cheap.
         # Keyed by (bucket capacity, parity) — double-buffered, and each
-        # slot is guarded: PJRT may defer reading the host buffer until the
-        # transfer completes (ImmutableUntilTransferCompletes semantics), so
-        # a slot must not be rewritten until the device array created from
-        # it is ready.
+        # slot is guarded by the *consuming computation's outputs*: the JAX
+        # CPU client ZERO-COPY ALIASES sufficiently small/aligned numpy
+        # arrays (verified on jax 0.9: mutating the numpy source after
+        # block_until_ready changes the "device" array), so a slot is
+        # writable only once every computation that read it has finished —
+        # blocking on the uploaded arrays alone is NOT enough.  This was
+        # the root cause of the intermittent corrupted outputs that
+        # conftest.py previously masked by disabling async dispatch.
         self._stage = {}
         self._stage_busy = {}
         self._stage_idx = 0
@@ -400,8 +416,7 @@ class DeviceRecon:
         # flat views: avoid the PJRT sub-tile relayout (see _recon_packed)
         out = (jnp.asarray(sc.reshape(-1)), jnp.asarray(ss),
                jnp.asarray(sm.reshape(-1)))
-        self._stage_busy[idx] = out
-        return out
+        return out, idx
 
     def call_packed(self, tokens: PictureTokens, ref0=None, ref1=None):
         """Returns (y, u, v, packed_output); planes stay on device for use
@@ -410,8 +425,46 @@ class DeviceRecon:
             ref0 = self.zero_planes()
         if ref1 is None:
             ref1 = self.zero_planes()
-        cblk, cidx, meta = self._upload(tokens)
-        return self._fn_packed(cblk, cidx, meta, *ref0, *ref1)
+        (cblk, cidx, meta), slot = self._upload(tokens)
+        out = self._fn_packed(cblk, cidx, meta, *ref0, *ref1)
+        # slot guard: the computation may read the staging memory directly
+        # (CPU zero-copy aliasing) — see __init__
+        self._stage_busy[slot] = out
+        return out
+
+
+# Process-wide recon caches: compiled XLA programs are keyed by geometry +
+# configuration, NOT by decoder instance — a second MP2VDecoder must reuse
+# the first one's compilations (compiles through tunneled TPU transports
+# run minutes each and the persistent on-disk cache does not apply there).
+_DEVICE_RECONS: dict = {}
+_GOP_RECONS: dict = {}
+
+
+def device_recon(geom: PictureGeometry, field_support: bool = True,
+                 use_pallas_idct=None, use_pallas_mc=None,
+                 pallas_interpret: bool = False) -> "DeviceRecon":
+    key = (geom, field_support, use_pallas_idct, use_pallas_mc,
+           pallas_interpret)
+    if key not in _DEVICE_RECONS:
+        _DEVICE_RECONS[key] = DeviceRecon(
+            geom, field_support=field_support,
+            use_pallas_idct=use_pallas_idct, use_pallas_mc=use_pallas_mc,
+            pallas_interpret=pallas_interpret)
+    return _DEVICE_RECONS[key]
+
+
+def gop_recon(geom: PictureGeometry, chunk: int, field_support: bool = False,
+              use_pallas_idct=None, use_pallas_mc=None,
+              pallas_interpret: bool = False) -> "GopRecon":
+    key = (geom, chunk, field_support, use_pallas_idct, use_pallas_mc,
+           pallas_interpret)
+    if key not in _GOP_RECONS:
+        _GOP_RECONS[key] = GopRecon(
+            geom, chunk, field_support=field_support,
+            use_pallas_idct=use_pallas_idct, use_pallas_mc=use_pallas_mc,
+            pallas_interpret=pallas_interpret)
+    return _GOP_RECONS[key]
 
 
 class GopRecon:
@@ -446,23 +499,60 @@ class GopRecon:
                                  use_pallas_idct=use_pallas_idct,
                                  use_pallas_mc=use_pallas_mc,
                                  pallas_interpret=pallas_interpret)
-        self._fn = jax.jit(self._gop)
-        self._stage = {}       # keyed by (pair cap, row cap)
+        self._fn = jax.jit(self._gop, static_argnames=("cap_pairs", "cap_k"))
+        self._stage = {}       # keyed by (pair cap, row cap, parity)
         self._stage_busy = {}  # see DeviceRecon._upload slot guard
+        self._stage_idx = 0
 
-    def _gop(self, pair_idx, pair_val, scat_pos, meta, is_b, is_ip,
-             r0y, r0u, r0v, r1y, r1u, r1v):
+    def _layout(self, cap_pairs: int, cap_k: int):
+        """Byte offsets of the five sections inside the single consolidated
+        upload blob (each 4-byte aligned): pair_pos uint8 (column of each
+        nonzero, 255 for padding), pair_val int16, row_nnz uint8 (nonzeros
+        per coded row — pair row ids are rebuilt on device by scatter-add +
+        cumsum), scat_pos int32, meta int16.  One flat uint8 transfer
+        instead of five — every transfer pays a full tunnel round trip on
+        remote platforms."""
+        g = self.geom
+        o0 = 0
+        o1 = (o0 + cap_pairs + 3) & ~3           # pair_val
+        o2 = (o1 + cap_pairs * 2 + 3) & ~3       # row_nnz
+        o3 = (o2 + cap_k + 3) & ~3               # scat_pos
+        o4 = o3 + cap_k * 4                      # meta
+        cols = meta2_cols(self.inner.field_support)
+        total = o4 + ((self.chunk * g.n_mb * cols * 2 + 3) & ~3)
+        return (o0, o1, o2, o3, o4, total)
+
+    def _gop(self, blob, is_b, is_ip, r0y, r0u, r0v, r1y, r1u, r1v,
+             *, cap_pairs, cap_k):
         inner = self.inner
         geom = self.geom
         n_rows = geom.n_mb * geom.blocks_per_mb
-        cap_k = scat_pos.shape[0]
-        meta = meta.reshape(self.chunk, geom.n_mb, META2_COLS)
+        o0, o1, o2, o3, o4, _ = self._layout(cap_pairs, cap_k)
+        bc = jax.lax.bitcast_convert_type
+        cols = meta2_cols(inner.field_support)
+        pair_pos = blob[o0:o0 + cap_pairs]
+        pair_val = bc(blob[o1:o1 + cap_pairs * 2].reshape(-1, 2), jnp.int16)
+        row_nnz = blob[o2:o2 + cap_k]
+        scat_pos = bc(blob[o3:o3 + cap_k * 4].reshape(-1, 4), jnp.int32)
+        nm = self.chunk * geom.n_mb * cols
+        meta = bc(blob[o4:o4 + nm * 2].reshape(-1, 2), jnp.int16)
+        meta = meta.reshape(self.chunk, geom.n_mb, cols)
         xs_, ys_, _ = CHROMA_INFO[geom.chroma_format]
         cw = (geom.width + (1 << xs_) - 1) >> xs_
         ch = (geom.height + (1 << ys_) - 1) >> ys_
 
-        # 1) nonzero pairs -> coded coefficient rows (padding pairs carry an
-        #    out-of-range index and are dropped)
+        # 1) nonzero pairs -> coded coefficient rows.  The row id of each
+        #    pair is reconstructed from per-row nonzero counts: rows mark
+        #    their start offset (scatter-add — empty rows and the padding
+        #    rows collapse onto the same offset), an inclusive cumsum then
+        #    counts the rows whose offset <= pair position.  Padding pairs
+        #    (pos=255) and empty-row artifacts land out of range and are
+        #    dropped by the scatter.
+        off = jnp.cumsum(row_nnz.astype(jnp.int32)) - row_nnz.astype(jnp.int32)
+        mark = jnp.zeros(cap_pairs, jnp.int32).at[off].add(
+            1, mode="drop")
+        row = jnp.cumsum(mark) - 1
+        pair_idx = row * 64 + pair_pos.astype(jnp.int32)
         coeff = jnp.zeros(cap_k * 64, jnp.int16).at[pair_idx].set(
             pair_val, indices_are_sorted=True, unique_indices=True,
             mode="drop").reshape(cap_k, 64)
@@ -481,7 +571,8 @@ class GopRecon:
         def step(carry, xs):
             r0, r1 = carry
             res, m, b_flag, ip_flag = xs
-            dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta2(m)
+            dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta2(
+                m, inner.field_support)
             residual = res.reshape(geom.n_mb, geom.blocks_per_mb, 8, 8)
             # B pictures predict from (older, newer); I/P from (newer, -)
             ref0u = tuple(jnp.where(b_flag, a, b) for a, b in zip(r0, r1))
@@ -501,15 +592,23 @@ class GopRecon:
             (dense, meta, is_b, is_ip))
         return (*r0, *r1, packs)
 
-    def _staging(self, cap_pairs, cap_k):
-        key = (cap_pairs, cap_k)
+    def _staging(self, cap_pairs, cap_k, parity):
+        """Persistent pinned staging blob + typed section views (parity
+        double-buffered so chunk N+1's fill can overlap chunk N's h2d)."""
+        key = (cap_pairs, cap_k, parity)
         if self._stage.get(key) is None:
             g = self.geom
+            cols = meta2_cols(self.inner.field_support)
+            o0, o1, o2, o3, o4, total = self._layout(cap_pairs, cap_k)
+            blob = np.zeros(total, np.uint8)
             self._stage[key] = (
-                np.empty(cap_pairs, np.int32),
-                np.empty(cap_pairs, np.int16),
-                np.empty(cap_k, np.int32),
-                np.zeros((self.chunk, g.n_mb, META2_COLS), np.int16))
+                blob,
+                blob[o0:o0 + cap_pairs],
+                blob[o1:o1 + cap_pairs * 2].view(np.int16),
+                blob[o2:o2 + cap_k],
+                blob[o3:o3 + cap_k * 4].view(np.int32),
+                blob[o4:o4 + self.chunk * g.n_mb * cols * 2].view(
+                    np.int16).reshape(self.chunk, g.n_mb, cols))
         return self._stage[key]
 
     def __call__(self, tokens_list, pct_list, ref0=None, ref1=None):
@@ -522,37 +621,42 @@ class GopRecon:
         g = self.geom
         n_rows = g.n_mb * g.blocks_per_mb
 
-        # pack nonzero (flat_index, value) pairs, globally sorted: sparse
-        # rows are numbered in claim order per picture, pictures in chunk
-        # order, np.nonzero walks each row block-major — strictly ascending.
+        # pack nonzero (column, value) pairs + per-row counts, globally
+        # sorted: sparse rows are numbered in claim order per picture,
+        # pictures in chunk order, np.nonzero walks each row block-major —
+        # strictly ascending.
         pairs = []
         total_k = 0
+        total_nz = 0
         for tok in tokens_list:
             k = tok.n_coded_blocks
             rows = tok.cblk[:k]
             nzr, nzc = np.nonzero(rows)
-            pairs.append(((total_k + nzr.astype(np.int64)) * 64 + nzc,
-                          rows[nzr, nzc]))
+            pairs.append((nzr, nzc, rows[nzr, nzc]))
             total_k += k
-        total_nz = sum(len(p[0]) for p in pairs)
+            total_nz += len(nzr)
         cap_k = _ladder(total_k + 1)
         cap_pairs = _ladder(total_nz + 1, lo=4096)
-        key = (cap_pairs, cap_k)
-        pi, pv, sp, sm = self._staging(cap_pairs, cap_k)
+        key = (cap_pairs, cap_k, self._stage_idx)
+        self._stage_idx ^= 1
+        blob, pp, pv, pn, sp, sm = self._staging(cap_pairs, cap_k, key[2])
         if self._stage_busy.get(key) is not None:
             jax.block_until_ready(self._stage_busy[key])
         p = 0
         off = 0
+        fs = self.inner.field_support
         for i, tok in enumerate(tokens_list):
-            idx, val = pairs[i]
-            pi[p:p + len(idx)] = idx
-            pv[p:p + len(idx)] = val
-            p += len(idx)
+            nzr, nzc, val = pairs[i]
+            pp[p:p + len(nzc)] = nzc
+            pv[p:p + len(nzc)] = val
             k = tok.n_coded_blocks
+            pn[off:off + k] = np.bincount(nzr, minlength=k)[:k]
+            p += len(nzc)
             sp[off:off + k] = i * n_rows + tok.cblk_idx[:k]
             off += k
-            pack_meta2(tok, out=sm[i])
-        pi[p:] = cap_k * 64          # OOB -> dropped by the scatter
+            pack_meta2(tok, fs, out=sm[i])
+        pp[p:] = 255                 # padding pairs resolve out of range
+        pn[off:] = 0
         sp[off:] = self.chunk * n_rows
         if t < self.chunk:
             sm[t:] = 0
@@ -564,10 +668,11 @@ class GopRecon:
             ref0 = self.inner.zero_planes()
         if ref1 is None:
             ref1 = self.inner.zero_planes()
-        up = (jnp.asarray(pi), jnp.asarray(pv), jnp.asarray(sp),
-              jnp.asarray(sm.reshape(-1)))
-        self._stage_busy[key] = up
-        out = self._fn(*up, jnp.asarray(is_b),
-                       jnp.asarray(is_ip), *ref0, *ref1)
+        up = jnp.asarray(blob)
+        out = self._fn(up, jnp.asarray(is_b), jnp.asarray(is_ip),
+                       *ref0, *ref1, cap_pairs=cap_pairs, cap_k=cap_k)
+        # slot guard on the *outputs*: the computation may read the staging
+        # memory directly (CPU zero-copy aliasing) — see DeviceRecon.__init__
+        self._stage_busy[key] = out
         r0, r1, packs = out[0:3], out[3:6], out[6]
         return r0, r1, packs

@@ -79,9 +79,15 @@ def pad_tokens_rows(tokens: PictureTokens, geom_padded: PictureGeometry) -> Pict
 
 
 class RowShardedRecon:
-    """One picture reconstructed across all chips of a mesh axis: token
-    tensors sharded by MB row, reference planes replicated, output planes
-    sharded by row band."""
+    """One picture reconstructed across all chips of a mesh axis: per-MB
+    token tensors and the dense block->sparse-row gather map are sharded by
+    MB row; the compact sparse coefficient rows and the reference planes are
+    replicated (sparse rows are a few percent of dense volume — replicating
+    them costs less than re-partitioning by band, and each chip's sharded
+    gather touches only its own band's rows).  Output planes come back
+    sharded by row band; consuming them as replicated references for the
+    next picture is the ICI all-gather (general MVs can reach anywhere in
+    the reference, SURVEY §5.8)."""
 
     def __init__(self, geom: PictureGeometry, mesh: Mesh, axis: str = "row",
                  field_support: bool = False):
@@ -93,16 +99,28 @@ class RowShardedRecon:
         self.inner = DeviceRecon(self.geom, field_support=field_support)
 
         tok = NamedSharding(mesh, P(axis))          # MB batch axis
-        rep = NamedSharding(mesh, P())              # replicated refs
+        rep = NamedSharding(mesh, P())              # replicated refs/coeffs
         rows = NamedSharding(mesh, P(axis, None))   # plane rows
         self._rep = rep
+        self._tok = tok
+        self._rows = rows
         self._fn = jax.jit(
-            self.inner._recon,
-            in_shardings=(tok,) * 8 + (rep,) * 6,
+            self._recon_sparse,
+            in_shardings=((rep, tok, tok) + (rep,) * 6),
             out_shardings=(rows, rows, rows),
         )
 
+    def _recon_sparse(self, cblk, cidx, meta, r0y, r0u, r0v, r1y, r1u, r1v):
+        from ..ops.recon import _unpack_meta
+        inner = self.inner
+        dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(meta)
+        residual = inner._residual_sparse(cblk, cidx)
+        return inner._recon_from_residual(
+            residual, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
+            r0y, r0u, r0v, r1y, r1u, r1v)
+
     def __call__(self, tokens: PictureTokens, ref0=None, ref1=None):
+        from ..ops.recon import _bucket, _sparse_src_map, pack_meta
         g = self.geom
         tokens = pad_tokens_rows(tokens, g)
         zero = lambda s: jnp.zeros(s, jnp.uint8)
@@ -114,36 +132,77 @@ class RowShardedRecon:
         # device_put IS the reference-plane all-gather over ICI
         ref0 = tuple(jax.device_put(p, self._rep) for p in ref0)
         ref1 = tuple(jax.device_put(p, self._rep) for p in ref1)
+        n_rows = g.n_mb * g.blocks_per_mb
+        k = tokens.n_coded_blocks
+        cap = _bucket(k + 1, n_rows + 1)
+        cblk = np.zeros((cap, 64), np.int16)
+        cblk[:k] = tokens.cblk[:k]
+        cidx = _sparse_src_map(tokens.cblk_idx, k, n_rows, dummy=k)
+        meta = pack_meta(tokens)
         return self._fn(
-            jnp.asarray(tokens.dense_coeff()), jnp.asarray(tokens.dct_type),
-            jnp.asarray(tokens.fwd), jnp.asarray(tokens.bwd),
-            jnp.asarray(tokens.field_pred), jnp.asarray(tokens.coded),
-            jnp.asarray(tokens.mv), jnp.asarray(tokens.mvfs),
-            *ref0, *ref1)
+            jax.device_put(cblk, self._rep),
+            jax.device_put(cidx, self._tok),
+            jax.device_put(meta, self._tok), *ref0, *ref1)
 
 
 class StreamBatchRecon:
     """N independent streams reconstructed data-parallel: every tensor gains
     a leading stream axis sharded across chips.  No collectives — linear
-    scaling; the serving configuration."""
+    scaling; the serving configuration.  Uses the packed sparse coefficient
+    interface (per-stream sparse rows bucketed to a common capacity)."""
 
     def __init__(self, geom: PictureGeometry, mesh: Mesh, axis: str = "stream",
                  field_support: bool = False):
         self.mesh = mesh
         self.geom = geom
         self.inner = DeviceRecon(geom, field_support=field_support)
-        st = NamedSharding(mesh, P(axis))
+        self._st = NamedSharding(mesh, P(axis))
         self._fn = jax.jit(
-            jax.vmap(self.inner._recon),
-            in_shardings=(st,) * 14,
-            out_shardings=(st, st, st),
+            jax.vmap(self._recon_one),
+            in_shardings=(self._st,) * 9,
+            out_shardings=(self._st, self._st, self._st),
         )
 
-    def __call__(self, batched_arrays):
-        """batched_arrays: the 14 _recon arguments, each with a leading
-        stream axis (coeff, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
-        r0y, r0u, r0v, r1y, r1u, r1v)."""
-        return self._fn(*batched_arrays)
+    def _recon_one(self, cblk, cidx, meta, r0y, r0u, r0v, r1y, r1u, r1v):
+        from ..ops.recon import _unpack_meta
+        inner = self.inner
+        dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(meta)
+        residual = inner._residual_sparse(cblk, cidx)
+        return inner._recon_from_residual(
+            residual, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
+            r0y, r0u, r0v, r1y, r1u, r1v)
+
+    def __call__(self, tokens_list, refs0=None, refs1=None):
+        """tokens_list: one PictureTokens per stream (same geometry);
+        refs0/refs1: optional per-stream reference plane tuples, each
+        stacked (n_streams, H, W).  Returns stacked (y, u, v) planes."""
+        from ..ops.recon import _bucket, _sparse_src_map, pack_meta
+        g = self.geom
+        n = len(tokens_list)
+        n_rows = g.n_mb * g.blocks_per_mb
+        cap = _bucket(max(t.n_coded_blocks for t in tokens_list) + 1,
+                      n_rows + 1)
+        cblk = np.zeros((n, cap, 64), np.int16)
+        cidx = np.empty((n, n_rows), np.int32)
+        meta = np.zeros((n, g.n_mb) + pack_meta(tokens_list[0]).shape[1:],
+                        np.int16)
+        for i, tok in enumerate(tokens_list):
+            k = tok.n_coded_blocks
+            cblk[i, :k] = tok.cblk[:k]
+            _sparse_src_map(tok.cblk_idx, k, n_rows, dummy=k, out=cidx[i])
+            pack_meta(tok, out=meta[i])
+        zero = lambda s: jnp.zeros((n,) + s, jnp.uint8)
+        if refs0 is None:
+            refs0 = (zero(g.luma_padded), zero(g.chroma_padded),
+                     zero(g.chroma_padded))
+        if refs1 is None:
+            refs1 = (zero(g.luma_padded), zero(g.chroma_padded),
+                     zero(g.chroma_padded))
+        refs0 = tuple(jax.device_put(p, self._st) for p in refs0)
+        refs1 = tuple(jax.device_put(p, self._st) for p in refs1)
+        return self._fn(jax.device_put(cblk, self._st),
+                        jax.device_put(cidx, self._st),
+                        jax.device_put(meta, self._st), *refs0, *refs1)
 
 
 def random_tokens(rng, geom: PictureGeometry, p_coded=0.9) -> PictureTokens:

@@ -32,6 +32,8 @@ class DecoderConfig:
     width: int = 0                # 0 = take from the sequence header
     height: int = 0
     chroma_format: int = 0
+    # max undelivered pictures in flight on device (0 = unbounded) —
+    # back-pressure, reference: threads.cpp:161-169
     pictures_pool_size: int = 10
     num_threads: int = 0          # 0 = auto (native tokenizer threads)
     reordering: bool = True
@@ -49,6 +51,13 @@ class DecoderConfig:
     # TPU code path is testable on CPU.
     use_pallas: Optional[bool] = None
     pallas_interpret: bool = False
+    # Multi-chip scale-out: "rows" shards each picture's MB rows across all
+    # local devices (latency mode; reference planes all-gather over ICI).
+    # None = single chip.  ``decode_batch`` (throughput mode: one stream
+    # per chip) is independent of this knob.  The TPU-native analog of the
+    # reference's worker threading (reference: decoder.cpp:381-406).
+    mesh: Optional[str] = None
+    mesh_devices: int = 0         # 0 = all local devices
 
 
 class LazyFrame:
@@ -104,6 +113,51 @@ class LazyFrame:
         return self.y.tobytes() + self.u.tobytes() + self.v.tobytes()
 
 
+class PlanesFrame:
+    """A decoded frame backed by (possibly sharded) device planes."""
+
+    def __init__(self, planes, geom: PictureGeometry,
+                 temporal_reference: int, picture_coding_type: int):
+        self._planes = planes      # (y, u, v) padded device planes
+        self._geom = geom
+        self._host = None
+        self.temporal_reference = temporal_reference
+        self.picture_coding_type = picture_coding_type
+
+    def device_buffer(self):
+        return self._planes
+
+    def _fetch(self):
+        if self._host is None:
+            self._host = tuple(np.asarray(p) for p in self._planes)
+        return self._host
+
+    _flat = _fetch  # uniform materialization hook (see MP2VDecoder._drain)
+
+    @property
+    def y(self):
+        g = self._geom
+        return self._fetch()[0][:g.height, :g.width]
+
+    def _chroma(self, i):
+        g = self._geom
+        xs, ys, _ = CHROMA_INFO[g.chroma_format]
+        cw = (g.width + (1 << xs) - 1) >> xs
+        ch = (g.height + (1 << ys) - 1) >> ys
+        return self._fetch()[i][:ch, :cw]
+
+    @property
+    def u(self):
+        return self._chroma(1)
+
+    @property
+    def v(self):
+        return self._chroma(2)
+
+    def tobytes(self) -> bytes:
+        return self.y.tobytes() + self.u.tobytes() + self.v.tobytes()
+
+
 class MP2VDecoder:
     """Decode MPEG-2 elementary streams to YUV frames on TPU.
 
@@ -128,6 +182,7 @@ class MP2VDecoder:
         self._refs = [None, None]      # device plane tuples, decode order
         self._reorder_slot = None
         self._out_fifo = []            # pending frames with in-flight copies
+        self.user_data: List[bytes] = []  # reference: decoder.cpp:194-200
         self._chunk: List[tuple] = []  # (tokens, geom, ph) awaiting batch
         self._frames: List[DecodedFrame] = []
         self.stats = {"pictures": 0, "tokenize_s": 0.0, "device_s": 0.0,
@@ -140,26 +195,38 @@ class MP2VDecoder:
                     pallas_interpret=c.pallas_interpret)
 
     def _recon_for(self, geom: PictureGeometry, field_support: bool) -> DeviceRecon:
-        key = (geom, field_support)
-        if key not in self._recons:
-            self._recons[key] = DeviceRecon(geom, field_support=field_support,
-                                            **self._pallas_opts())
-        return self._recons[key]
+        from ..ops.recon import device_recon
+        return device_recon(geom, field_support=field_support,
+                            **self._pallas_opts())
 
     def _gop_recon_for(self, geom: PictureGeometry, field_support: bool):
-        from ..ops.recon import GopRecon
-        key = (geom, field_support, "gop")
+        from ..ops.recon import gop_recon
+        return gop_recon(geom, self.config.gop_chunk,
+                         field_support=field_support, **self._pallas_opts())
+
+    def _mesh_recon_for(self, geom: PictureGeometry, field_support: bool):
+        from ..parallel.mesh import RowShardedRecon, make_mesh
+        key = (geom, field_support, "rows")
         if key not in self._recons:
-            self._recons[key] = GopRecon(geom, self.config.gop_chunk,
-                                         field_support=field_support,
-                                         **self._pallas_opts())
+            n = self.config.mesh_devices or None
+            mesh = make_mesh(n, axes=("row",))
+            self._recons[key] = RowShardedRecon(geom, mesh,
+                                                field_support=field_support)
         return self._recons[key]
 
     def _emit(self, pending) -> None:
         """Queue a decoded picture (its device->host copy is already in
         flight); materialization is deferred one picture so the transfer
-        overlaps the next picture's decode."""
+        overlaps the next picture's decode.  ``pictures_pool_size`` bounds
+        the number of undelivered pictures in flight — the back-pressure
+        the reference applies by blocking ``create_task`` until a ring slot
+        recycles (reference: threads.cpp:161-169)."""
         self._out_fifo.append(pending)
+        pool = self.config.pictures_pool_size
+        if pool > 0 and len(self._out_fifo) > pool:
+            import jax
+            oldest = self._out_fifo[0]
+            jax.block_until_ready(oldest.device_buffer())
 
     def _drain(self, keep_last: bool) -> None:
         keep = 1 if keep_last else 0
@@ -187,12 +254,24 @@ class MP2VDecoder:
     # ------------------------------------------------------------------
     def decode(self, data: bytes) -> List[DecodedFrame]:
         self._frames = []
+        self._walk(data, self._decode_picture)
+        self.flush()
+        return self._frames
+
+    def _walk(self, data: bytes, on_picture) -> None:
+        """Start-code dispatch loop (reference: decoder.cpp:278-329);
+        ``on_picture(data, cur)`` fires once per complete picture."""
         cur = None
         ended = False
-        for off in scan_start_codes(data):
-            off = int(off)
+        offs = [int(o) for o in scan_start_codes(data)]
+        for i, off in enumerate(offs):
             code = data[off + 3]
             r_pos = (off + 4) * 8
+            if code == H.USER_DATA_START_CODE:
+                # capture user data verbatim (reference: decoder.cpp:194-200)
+                end = offs[i + 1] if i + 1 < len(offs) else len(data)
+                self.user_data.append(data[off + 4:end])
+                continue
             if code == H.SEQUENCE_HEADER_CODE:
                 self.seq = H.SequenceHeader.parse(H.BitReader(data, r_pos))
                 # spec 6.3.11: sequence header resets downloaded matrices
@@ -213,7 +292,7 @@ class MP2VDecoder:
                 self.gop = H.GroupOfPicturesHeader.parse(H.BitReader(data, r_pos))
             elif code == H.PICTURE_START_CODE:
                 if cur is not None:
-                    self._decode_picture(data, cur)
+                    on_picture(data, cur)
                 ph = H.PictureHeader.parse(H.BitReader(data, r_pos))
                 cur = {"header": ph,
                        "pcext": H.PictureCodingExtension(
@@ -222,7 +301,7 @@ class MP2VDecoder:
                        "slices": []}
             elif code in (H.SEQUENCE_END_CODE, H.SEQUENCE_ERROR_CODE):
                 if cur is not None:
-                    self._decode_picture(data, cur)
+                    on_picture(data, cur)
                     cur = None
                 ended = True
                 break
@@ -230,9 +309,7 @@ class MP2VDecoder:
                 if cur is not None:
                     cur["slices"].append((r_pos, code))
         if cur is not None:
-            self._decode_picture(data, cur)
-        self.flush()
-        return self._frames
+            on_picture(data, cur)
 
     def flush(self) -> None:
         self._flush_chunk()
@@ -240,6 +317,80 @@ class MP2VDecoder:
             self._emit(self._reorder_slot)
             self._reorder_slot = None
         self._drain(keep_last=False)
+
+    def tokenize_stream(self, data: bytes):
+        """Host-only pass: parse + tokenize every picture of a stream.
+        Returns [(PictureTokens, PictureGeometry, PictureHeader), ...]."""
+        out = []
+        self._walk(data, lambda d, cur: out.append(self._picture_tokens(d, cur)))
+        return out
+
+    def decode_batch(self, streams: List[bytes]) -> List[List[DecodedFrame]]:
+        """Decode N independent streams data-parallel, one shard per chip
+        (StreamBatchRecon) — the serving/throughput scale-out.  All streams
+        must share geometry and picture-type sequence (e.g. one content
+        class re-encoded N ways); per-stream reference lists ride a stacked
+        (N, H, W) plane axis.  Returns per-stream frame lists in display
+        order.  The multi-stream analog of the reference's picture-pipeline
+        workers (reference: threads.cpp:100-159)."""
+        from ..parallel.mesh import StreamBatchRecon, make_mesh
+        assert streams, "no streams"
+        seqs = []
+        for s in streams:
+            self.reset()
+            seqs.append(self.tokenize_stream(s))
+        self.reset()
+        n_pics = {len(q) for q in seqs}
+        assert len(n_pics) == 1, f"streams differ in picture count: {n_pics}"
+        geoms = {q[0][1] for q in seqs}
+        assert len(geoms) == 1, f"streams differ in geometry: {geoms}"
+        geom = seqs[0][0][1]
+        for i in range(len(seqs[0])):
+            pcts = {q[i][2].picture_coding_type for q in seqs}
+            assert len(pcts) == 1, \
+                f"streams differ in picture type at {i}: {pcts}"
+
+        field = any(bool(t.field_pred.any()) for q in seqs for t, _, _ in q)
+        S = len(streams)
+        import jax
+        avail = self.config.mesh_devices or len(jax.devices())
+        n = max(d for d in range(1, min(S, avail) + 1) if S % d == 0)
+        sb = StreamBatchRecon(geom, make_mesh(n, axes=("stream",)),
+                              field_support=field)
+        refs = [None, None]   # each: (y, u, v) stacked (S, H, W)
+        out_frames: List[List[DecodedFrame]] = [[] for _ in range(S)]
+        reorder: List[Optional[PlanesFrame]] = [None] * S
+
+        def emit(i, frame):
+            if self.config.output_host:
+                frame._fetch()
+            out_frames[i].append(frame)
+
+        for idx in range(len(seqs[0])):
+            toks = [q[idx][0] for q in seqs]
+            ph = seqs[0][idx][2]
+            pct = ph.picture_coding_type
+            if pct in (H.PCT_I, H.PCT_P):
+                r0, r1 = refs[1], None
+            else:
+                r0, r1 = refs[0], refs[1]
+            y, u, v = sb(toks, refs0=r0, refs1=r1)
+            if pct in (H.PCT_I, H.PCT_P):
+                refs = [refs[1], (y, u, v)]
+            for i in range(S):
+                phi = seqs[i][idx][2]
+                frame = PlanesFrame((y[i], u[i], v[i]), geom,
+                                    phi.temporal_reference, pct)
+                if pct in (H.PCT_I, H.PCT_P) and self.config.reordering:
+                    if reorder[i] is not None:
+                        emit(i, reorder[i])
+                    reorder[i] = frame
+                else:
+                    emit(i, frame)
+        for i in range(S):
+            if reorder[i] is not None:
+                emit(i, reorder[i])
+        return out_frames
 
     def _route_frame(self, pending, pct: int) -> None:
         """Display reordering (reference: decoder.cpp:346-379)."""
@@ -280,7 +431,9 @@ class MP2VDecoder:
         self._drain(keep_last=True)
 
     # ------------------------------------------------------------------
-    def _decode_picture(self, data: bytes, cur) -> None:
+    def _picture_tokens(self, data: bytes, cur):
+        """Header state + slice tokenization for one picture (everything
+        host-side, no device work)."""
         assert self.seq is not None, "picture before sequence header"
         ph: H.PictureHeader = cur["header"]
         pcext: H.PictureCodingExtension = cur["pcext"]
@@ -307,9 +460,19 @@ class MP2VDecoder:
         )
         t0 = time.perf_counter()
         tokens = self.tokenize_picture(data, cur["slices"], params, geom)
-        t1 = time.perf_counter()
         self.stats["pictures"] += 1
-        self.stats["tokenize_s"] += t1 - t0
+        self.stats["tokenize_s"] += time.perf_counter() - t0
+        return tokens, geom, ph
+
+    def _decode_picture(self, data: bytes, cur) -> None:
+        tokens, geom, ph = self._picture_tokens(data, cur)
+        t1 = time.perf_counter()
+
+        if self.config.mesh == "rows":
+            self._decode_picture_mesh(tokens, geom, ph)
+            t2 = time.perf_counter()
+            self.stats["device_s"] += t2 - t1
+            return
 
         if self.config.gop_chunk > 0:
             if self._chunk and self._chunk[0][1] != geom:
@@ -334,4 +497,24 @@ class MP2VDecoder:
             self._refs = [self._refs[1], (y, u, v)]
         self._route_frame(pending, ph.picture_coding_type)
         # deliver everything whose copy has had a picture's worth of overlap
+        self._drain(keep_last=True)
+
+    def _decode_picture_mesh(self, tokens, geom: PictureGeometry,
+                             ph: H.PictureHeader) -> None:
+        """Row-sharded reconstruction: each picture's MB rows split across
+        the mesh; reference planes re-replicate (ICI all-gather) between
+        pictures (the multi-chip analog of the reference's slice-parallel
+        workers, reference: threads.cpp:138-159)."""
+        field_support = bool(tokens.field_pred.any())
+        recon = self._mesh_recon_for(geom, field_support)
+        if ph.picture_coding_type in (H.PCT_I, H.PCT_P):
+            ref0, ref1 = self._refs[1], None
+        else:
+            ref0, ref1 = self._refs[0], self._refs[1]
+        planes = recon(tokens, ref0, ref1)
+        if ph.picture_coding_type in (H.PCT_I, H.PCT_P):
+            self._refs = [self._refs[1], planes]
+        frame = PlanesFrame(planes, geom, ph.temporal_reference,
+                            ph.picture_coding_type)
+        self._route_frame(frame, ph.picture_coding_type)
         self._drain(keep_last=True)

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(_HERE, "refbuild"))
 
 from bench_stream import make_bench_stream  # noqa: E402
 
-N_PICTURES = 16
+N_PICTURES = 64
 REPS = 5
 
 

