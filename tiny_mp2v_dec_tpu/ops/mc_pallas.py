@@ -65,7 +65,10 @@ def _gather_pred(ref, sy, sx, ph, h, w):
     sx0 = pl.multiple_of((sx >> 7) << 7, 128)
     rx = sx - sx0
     win = ref[pl.ds(sy0, rows), pl.ds(sx0, 256)].astype(jnp.int32)
-    win = pltpu.roll(win, -rx, axis=1)
+    # lane roll first, then narrow to one 128-lane tile before the sublane
+    # roll — the w+1 needed columns sit in [:128] after the lane roll, so
+    # the sublane roll runs on half the vregs
+    win = pltpu.roll(win, -rx, axis=1)[:, :128]
     win = pltpu.roll(win, -ry, axis=0)[:h + 1, :2 * w]
     a = win[:h, :w]
     b = win[:h, 1:w + 1]
@@ -79,7 +82,10 @@ def _gather_pred(ref, sy, sx, ph, h, w):
     return jnp.where(hx & hy, abcd, jnp.where(hx, ab, jnp.where(hy, ac, a)))
 
 
-def _make_kernel(h: int, w: int, mbw: int, rows_per_step: int):
+def _make_kernel(h: int, w: int, mbw: int, rows_per_step: int,
+                 bidir: bool):
+    """``bidir=False`` compiles a forward-only variant (no ref1 gather) —
+    I/P pictures select it via lax.cond and skip ~40% of the gather work."""
     def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
                mode_ref, ref0, ref1, res_ref, out_ref):
         r = pl.program_id(0)
@@ -88,12 +94,16 @@ def _make_kernel(h: int, w: int, mbw: int, rows_per_step: int):
                 i = (r * rows_per_step + j) * mbw + mb
                 m = mode_ref[i]
                 pf = _gather_pred(ref0, syf_ref[i], sxf_ref[i], phf_ref[i], h, w)
-                pb = _gather_pred(ref1, syb_ref[i], sxb_ref[i], phb_ref[i], h, w)
                 f = (m & 1) != 0
-                bk = (m & 2) != 0
-                both = (pf + pb + 1) >> 1
-                pred = jnp.where(f & bk, both,
-                                 jnp.where(f, pf, jnp.where(bk, pb, 0)))
+                if bidir:
+                    pb = _gather_pred(ref1, syb_ref[i], sxb_ref[i],
+                                      phb_ref[i], h, w)
+                    bk = (m & 2) != 0
+                    both = (pf + pb + 1) >> 1
+                    pred = jnp.where(f & bk, both,
+                                     jnp.where(f, pf, jnp.where(bk, pb, 0)))
+                else:
+                    pred = jnp.where(f, pf, 0)
                 val = pred + res_ref[j * h:(j + 1) * h,
                                      mb * w:(mb + 1) * w].astype(jnp.int32)
                 val = jnp.clip(val, 0, 255)
@@ -104,24 +114,26 @@ def _make_kernel(h: int, w: int, mbw: int, rows_per_step: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "H", "W", "interpret"))
+                   static_argnames=("h", "w", "H", "W", "interpret",
+                                    "bidir"))
 def fused_mc_recon(ref0_pad, ref1_pad, res_plane, syf, sxf, phf, syb, sxb,
                    phb, mode, *, h: int, w: int, H: int, W: int,
-                   interpret: bool = False):
+                   interpret: bool = False, bidir: bool = True):
     """Reconstruct one (H, W) component plane.
 
     ref0_pad/ref1_pad: ``pad_shape(H, W, h, w)`` uint8 planes (forward /
     backward reference, zero beyond (H, W)); res_plane: (H, W) int16 IDCT
     residual in plane layout; per-MB int32 vectors (row-major MB order):
     clamped window starts sy/sx in [0, H-h]/[0, W-w], 2-bit half-pel phase,
-    and mode bits (1=fwd, 2=bwd, 4=coded).
+    and mode bits (1=fwd, 2=bwd, 4=coded).  ``bidir=False`` compiles the
+    forward-only kernel (valid when no MB sets the bwd mode bit).
     """
     mbw = W // w
     # 16-row bands keep uint8 stores tiled (when the plane height allows)
     band = 16 if (16 % h == 0 and H % 16 == 0) else h
     rows_per_step = band // h
     grid = H // band
-    kernel = _make_kernel(h, w, mbw, rows_per_step)
+    kernel = _make_kernel(h, w, mbw, rows_per_step, bidir)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(grid,),

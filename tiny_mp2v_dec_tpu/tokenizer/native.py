@@ -59,9 +59,39 @@ def _load():
             C.c_char_p, C.c_size_t, C.POINTER(C.c_uint64),
             C.POINTER(C.c_int32), C.c_int, C.POINTER(_PicParams),
             C.POINTER(_TokenOut), C.c_int]
-        assert lib.mp2v_tokenizer_abi_version() == 3
+        lib.mp2v_count_pairs.restype = C.c_longlong
+        lib.mp2v_count_pairs.argtypes = [
+            C.POINTER(C.c_int16), C.c_int32, C.POINTER(C.c_uint8)]
+        lib.mp2v_pack_pairs.restype = C.c_longlong
+        lib.mp2v_pack_pairs.argtypes = [
+            C.POINTER(C.c_int16), C.c_int32, C.POINTER(C.c_uint8),
+            C.POINTER(C.c_int16)]
+        assert lib.mp2v_tokenizer_abi_version() == 4
         _lib = lib
     return _lib
+
+
+def pair_packers():
+    """(count_pairs, pack_pairs) numpy-facing wrappers, or None when the
+    extension is unavailable (callers fall back to numpy packing)."""
+    try:
+        lib = _load()
+    except Exception:
+        return None
+
+    def count_pairs(rows: np.ndarray, nnz_out: np.ndarray) -> int:
+        assert rows.dtype == np.int16 and rows.flags.c_contiguous
+        return int(lib.mp2v_count_pairs(
+            _ptr(rows, C.c_int16), rows.shape[0], _ptr(nnz_out, C.c_uint8)))
+
+    def pack_pairs(rows: np.ndarray, pos_out: np.ndarray,
+                   val_out: np.ndarray) -> int:
+        assert rows.dtype == np.int16 and rows.flags.c_contiguous
+        return int(lib.mp2v_pack_pairs(
+            _ptr(rows, C.c_int16), rows.shape[0],
+            _ptr(pos_out, C.c_uint8), _ptr(val_out, C.c_int16)))
+
+    return count_pairs, pack_pairs
 
 
 def _ptr(arr, ctype):
