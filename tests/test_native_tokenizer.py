@@ -149,3 +149,36 @@ def test_native_error_on_garbage():
     garbage = bytes([0, 0, 1, 1]) + bytes(40)  # all-zero slice payload
     with pytest.raises(ValueError):
         tok(garbage, [(32, 1)], params, geom)
+
+
+def test_pair_packers_parity_and_edges():
+    """C pair-packing scans (ABI v4) vs numpy on random + edge-case rows."""
+    from tiny_mp2v_dec_tpu.tokenizer.native import pair_packers
+    packers = pair_packers()
+    if packers is None:
+        pytest.skip("native extension unavailable")
+    count_pairs, pack_pairs = packers
+    rng = np.random.default_rng(42)
+    cases = [
+        np.zeros((5, 64), np.int16),                       # all-zero rows
+        np.full((3, 64), -2048, np.int16),                 # fully dense rows
+        rng.integers(-2048, 2048, (257, 64)).astype(np.int16),
+        np.zeros((0, 64), np.int16),                       # empty
+    ]
+    sparse = rng.integers(-300, 300, (1000, 64)).astype(np.int16)
+    sparse[rng.random((1000, 64)) < 0.9] = 0
+    cases.append(sparse)
+    for rows in cases:
+        k = rows.shape[0]
+        nnz = np.empty(max(k, 1), np.uint8)
+        n = count_pairs(np.ascontiguousarray(rows), nnz)
+        assert n == int(np.count_nonzero(rows))
+        if k:
+            assert np.array_equal(nnz[:k], np.count_nonzero(rows, axis=1))
+        pos = np.empty(max(n, 1), np.uint8)
+        val = np.empty(max(n, 1), np.int16)
+        m = pack_pairs(np.ascontiguousarray(rows), pos, val)
+        assert m == n
+        nzr, nzc = np.nonzero(rows)
+        assert np.array_equal(pos[:n], nzc.astype(np.uint8))
+        assert np.array_equal(val[:n], rows[nzr, nzc])

@@ -174,6 +174,11 @@ class MP2VDecoder:
         self.reset()
 
     def reset(self) -> None:
+        if getattr(self, "_chunk_jobs", None):
+            self._join_chunks()
+        self._chunk_jobs = []
+        if not hasattr(self, "_chunk_pool"):
+            self._chunk_pool = None  # created lazily, persists across resets
         self.seq: Optional[H.SequenceHeader] = None
         self.sext = H.SequenceExtension()
         self.sscal = None
@@ -313,6 +318,7 @@ class MP2VDecoder:
 
     def flush(self) -> None:
         self._flush_chunk()
+        self._join_chunks()
         if self._reorder_slot is not None:
             self._emit(self._reorder_slot)
             self._reorder_slot = None
@@ -402,9 +408,31 @@ class MP2VDecoder:
             self._emit(pending)
 
     def _flush_chunk(self) -> None:
+        """Hand the collected chunk to the single reconstruction worker
+        thread, so the staging fill + host->device upload of chunk N
+        overlaps the tokenization of chunk N+1 (jnp.asarray through remote
+        transports blocks the calling thread for the staging copy — on the
+        main thread that would serialize the whole pipeline)."""
         if not self._chunk:
             return
         batch, self._chunk = self._chunk, []
+        if self._chunk_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._chunk_pool = ThreadPoolExecutor(max_workers=1)
+        f = self._chunk_pool.submit(self._run_chunk, batch)
+        self._chunk_jobs.append(f)
+        # bound in-flight chunks (device memory back-pressure) and surface
+        # worker exceptions promptly
+        while len(self._chunk_jobs) > 2:
+            self._chunk_jobs.pop(0).result()
+
+    def _join_chunks(self) -> None:
+        while self._chunk_jobs:
+            self._chunk_jobs.pop(0).result()
+
+    def _run_chunk(self, batch) -> None:
+        """Worker-thread body: sequential per chunk (jobs run on one
+        executor thread), owns the device reference list."""
         geom = batch[0][1]
         tokens_list = [b[0] for b in batch]
         pcts = [b[2].picture_coding_type for b in batch]
