@@ -28,8 +28,9 @@ sys.path.insert(0, _HERE)
 from bench_stream import make_bench_stream  # noqa: E402
 
 N_PICTURES = 64
-WARMUP = 1
-REPEATS = 3
+WARMUP = 2
+REPEATS = 6   # tunneled-device throughput swings 2-6x between windows;
+              # best-of over more reps measures the machine, not the tunnel
 
 
 def baseline_fps() -> float:
@@ -40,6 +41,46 @@ def baseline_fps() -> float:
         return 0.0
     with open(path) as f:
         return float(json.load(f).get("fps", 0.0))
+
+
+def precompile_chunk_variants(dec, data) -> None:
+    """Compile the distinct GOP-chunk shape variants CONCURRENTLY (XLA
+    compilation releases the GIL; the tunneled platform has no persistent
+    compile cache, so a fresh bench process pays every compile — doing the
+    2+ variants in parallel roughly halves the warmup wall time)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tiny_mp2v_dec_tpu.ops.recon import _ladder
+
+    toks = dec.tokenize_stream(data)
+    dec.reset()
+    geom = toks[0][1]
+    chunk = dec.config.gop_chunk
+    variants = set()
+    for i in range(0, len(toks), chunk):
+        group = toks[i:i + chunk]
+        total_k = sum(t.n_coded_blocks for t, _, _ in group)
+        total_nz = sum(int(np.count_nonzero(t.cblk[:t.n_coded_blocks]))
+                       for t, _, _ in group)
+        variants.add((_ladder(total_nz + 1, lo=4096), _ladder(total_k + 1)))
+    recon = dec._gop_recon_for(geom, False)
+
+    def compile_one(key):
+        cap_pairs, cap_k = key
+        total = recon._layout(cap_pairs, cap_k)[-1]
+        blob = jnp.zeros(total, jnp.uint8)
+        flags = jnp.zeros(chunk, bool)
+        lp = jnp.zeros(geom.luma_padded, jnp.uint8)
+        cp = jnp.zeros(geom.chroma_padded, jnp.uint8)
+        out = recon._fn(blob, flags, flags, lp, cp, cp, lp, cp, cp,
+                        cap_pairs=cap_pairs, cap_k=cap_k)
+        jax.block_until_ready(out)
+
+    with ThreadPoolExecutor(max_workers=max(len(variants), 1)) as ex:
+        list(ex.map(compile_one, sorted(variants)))
 
 
 def main() -> int:
@@ -62,6 +103,7 @@ def main() -> int:
         jax.block_until_ready([f.device_buffer() for f in frames])
         return frames
 
+    precompile_chunk_variants(dec, data)
     for _ in range(WARMUP):
         frames = run()
 

@@ -93,18 +93,25 @@ def main():
     # warm the compiled fn + staging via one production call
     g(tokens_list, pcts)
 
-    # staging fill (pair packing) alone
+    # staging fill (pair packing) alone — the production C scans
+    from tiny_mp2v_dec_tpu.ops.recon import _load_packers
+    count_pairs, pack_pairs = _load_packers()
+    total_k = sum(t.n_coded_blocks for t in tokens_list)
+    nnz = np.empty(total_k, np.uint8)
     t0 = time.perf_counter()
-    pairs = []
-    total_k = 0
+    total_nz = 0
+    off = 0
     for tok in tokens_list:
         k = tok.n_coded_blocks
-        rows = tok.cblk[:k]
-        nzr, nzc = np.nonzero(rows)
-        pairs.append(((total_k + nzr.astype(np.int64)) * 64 + nzc,
-                      rows[nzr, nzc]))
-        total_k += k
-    total_nz = sum(len(p[0]) for p in pairs)
+        total_nz += count_pairs(np.ascontiguousarray(tok.cblk[:k]),
+                                nnz[off:off + k])
+        off += k
+    pos = np.empty(total_nz, np.uint8)
+    val = np.empty(total_nz, np.int16)
+    p = 0
+    for tok in tokens_list:
+        k = tok.n_coded_blocks
+        p += pack_pairs(np.ascontiguousarray(tok.cblk[:k]), pos[p:], val[p:])
     out["stage_pack_s"] = time.perf_counter() - t0
     out["total_k"] = total_k
     out["total_nz"] = total_nz
