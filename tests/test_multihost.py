@@ -89,3 +89,55 @@ def test_multihost_bitexact_display_order(n_hosts):
     assert len(got) == len(exp) == 16
     for a, b in zip(exp, got):
         assert a == b
+
+
+def test_split_no_cut_at_seq_header_before_non_I_picture():
+    """A repeated sequence header directly preceding a picture (no GOP
+    header in between) is NOT a legal cut: closedness cannot be
+    established, and a P/B picture there needs the previous anchor
+    (ADVICE r3: cutting decoded the chunk without its reference)."""
+    a = _gop_stream(70, n_pics=4)
+    b = _gop_stream(71, n_pics=4)
+    from tiny_mp2v_dec_tpu.golden.decoder import scan_start_codes
+    # excise B's GOP header so its pictures follow the seq header directly
+    offs = [int(o) for o in scan_start_codes(b)]
+    gop_off = next(o for o in offs if b[o + 3] == H.GROUP_START_CODE)
+    gop_end = next(o for o in offs if o > gop_off)
+    b_nogop = b[:gop_off] + b[gop_end:]
+    data = a[:-len(SEQ_END)] + b_nogop
+    chunks = split_gops(data)
+    assert len(chunks) == 1
+    assert chunks[0].n_pictures == 8
+
+
+def test_split_no_cut_while_quant_matrix_extension_live():
+    """A picture-level quant matrix extension persists until the next
+    sequence header (6.3.11); replaying only the sequence header in a chunk
+    prefix would reset it, so no cut is legal while one is live."""
+    rng = np.random.default_rng(72)
+    qm = H.QuantMatrixExtension(
+        load_intra_quantiser_matrix=1,
+        intra_quantiser_matrix=np.clip(
+            rng.integers(1, 200, 64), 1, 255).astype(np.uint8))
+    pics = []
+    for i, pct in enumerate([H.PCT_I, H.PCT_P, H.PCT_P, H.PCT_P]):
+        p = random_picture(rng, 4, 3, H.CHROMA_420, pct)
+        p.temporal_reference = i
+        if i == 1:
+            p.qmext = qm
+        pics.append(p)
+    a = encode_stream(64, 48, H.CHROMA_420, pics)
+    b = _gop_stream(73, n_pics=4)
+    data = a[:-len(SEQ_END)] + b
+    # b starts with its own sequence header, which resets matrices: that
+    # cut stays legal.  Build a variant where GOP 2 has no fresh sequence
+    # header — there the live qmext must suppress the cut.
+    from tiny_mp2v_dec_tpu.golden.decoder import scan_start_codes
+    offs = [int(o) for o in scan_start_codes(b)]
+    gop_off = next(o for o in offs if b[o + 3] == H.GROUP_START_CODE)
+    data_nosh = a[:-len(SEQ_END)] + b[gop_off:]
+    chunks = split_gops(data_nosh)
+    assert len(chunks) == 1
+    assert chunks[0].n_pictures == 8
+    # with the fresh sequence header the cut is legal again
+    assert len(split_gops(data)) == 2

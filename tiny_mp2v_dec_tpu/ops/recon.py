@@ -243,6 +243,12 @@ class DeviceRecon:
         self._stage = {}
         self._stage_busy = {}
         self._stage_idx = 0
+        # Instances are shared process-wide (device_recon cache) while the
+        # staging buffers/parity/guards above are mutable: two decoders
+        # with the same geometry running on separate worker threads must
+        # serialize upload+dispatch or they race on staging memory.
+        import threading
+        self._call_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def _pred_component(self, comp, padded0, padded1, fields0, fields1,
@@ -464,15 +470,17 @@ class DeviceRecon:
             ref0 = self.zero_planes()
         if ref1 is None:
             ref1 = self.zero_planes()
-        (cblk, cidx, meta), slot = self._upload(tokens)
-        out = self._fn_packed(cblk, cidx, meta, *ref0, *ref1,
-                              bidir=bool(tokens.bwd.any()))
-        # Slot guard (see __init__): on CPU the computation may read the
-        # staging memory directly (zero-copy aliasing) so the guard is the
-        # computation's outputs; on device backends the upload is a real
-        # copy and guarding the uploaded arrays preserves pipeline depth.
-        self._stage_busy[slot] = out if jax.default_backend() == "cpu" \
-            else (cblk, cidx, meta)
+        with self._call_lock:
+            (cblk, cidx, meta), slot = self._upload(tokens)
+            out = self._fn_packed(cblk, cidx, meta, *ref0, *ref1,
+                                  bidir=bool(tokens.bwd.any()))
+            # Slot guard (see __init__): on CPU the computation may read the
+            # staging memory directly (zero-copy aliasing) so the guard is
+            # the computation's outputs; on device backends the upload is a
+            # real copy and guarding the uploaded arrays preserves pipeline
+            # depth.
+            self._stage_busy[slot] = out if jax.default_backend() == "cpu" \
+                else (cblk, cidx, meta)
         return out
 
 
@@ -548,6 +556,10 @@ class GopRecon:
         self._stage_idx = 0
         self._packers = None
         self._nnz_scratch = None
+        # gop_recon() shares instances process-wide; staging state is
+        # mutable — concurrent decoders must serialize (see DeviceRecon).
+        import threading
+        self._call_lock = threading.Lock()
 
     def _layout(self, cap_pairs: int, cap_k: int):
         """Byte offsets of the five sections inside the single consolidated
@@ -598,6 +610,13 @@ class GopRecon:
             1, mode="drop")
         row = jnp.cumsum(mark) - 1
         pair_idx = row * 64 + pair_pos.astype(jnp.int32)
+        # padding pairs (pos=255) must not share one duplicate index under
+        # unique_indices=True (documented UB even though mode='drop' would
+        # discard them): give each a distinct ascending OOB index — all
+        # >= cap_k*64 > every real index, so sortedness also holds
+        pair_idx = jnp.where(pair_pos == 255,
+                             cap_k * 64 + jax.lax.iota(jnp.int32, cap_pairs),
+                             pair_idx)
         coeff = jnp.zeros(cap_k * 64, jnp.int16).at[pair_idx].set(
             pair_val, indices_are_sorted=True, unique_indices=True,
             mode="drop").reshape(cap_k, 64)
@@ -661,6 +680,10 @@ class GopRecon:
         no-op pictures); pct_list: picture_coding_type per picture.
         Returns (ref0, ref1, packed (chunk, frame_bytes)) — caller takes
         packed[:len(tokens_list)]."""
+        with self._call_lock:
+            return self._call_impl(tokens_list, pct_list, ref0, ref1)
+
+    def _call_impl(self, tokens_list, pct_list, ref0=None, ref1=None):
         t = len(tokens_list)
         assert 0 < t <= self.chunk
         g = self.geom

@@ -53,21 +53,31 @@ def split_gops(data: bytes) -> List[GopChunk]:
 
     def closed_at(i: int) -> bool:
         """Is the access unit whose headers begin at event i closed?
-        (first GOP header before the first picture decides; none = closed)"""
+        The first GOP header before the first picture decides.  When a
+        picture start code appears before any GOP header (e.g. a repeated
+        sequence header directly preceding a P/B picture), closedness
+        cannot be established — return False so the unit stays attached to
+        its predecessor (cutting there would decode P/B pictures without
+        their reference anchor)."""
         for j in range(i, n_ev):
             code = data[offs[j] + 3]
             if code == H.GROUP_START_CODE:
                 r = H.BitReader(data, (offs[j] + 4) * 8)
                 return bool(H.GroupOfPicturesHeader.parse(r).closed_gop)
             if code == H.PICTURE_START_CODE:
-                return True
-        return True
+                return False
+        return False
 
     seq_hdr: Optional[bytes] = None   # latest seq header + following exts
     chunks: List[GopChunk] = []
     cur_start = None      # byte offset where the current chunk begins
     cur_prefix = b""
     cur_pics = 0
+    # A picture-level quant matrix extension legally persists across GOP
+    # boundaries until the next sequence header (6.3.11); a chunk prefix
+    # replays only the sequence header, which would reset the matrices, so
+    # no cut is legal while a downloaded matrix is live.
+    qm_live = False
 
     def close(end_off):
         nonlocal cur_start, cur_pics
@@ -80,8 +90,9 @@ def split_gops(data: bytes) -> List[GopChunk]:
         off = offs[i]
         code = data[off + 3]
         if code == H.SEQUENCE_HEADER_CODE:
-            if cur_pics > 0 and closed_at(i):
+            if cur_pics > 0 and not qm_live and closed_at(i):
                 close(off)
+            qm_live = False   # 6.3.11: sequence header resets matrices
             j = i + 1
             while j < n_ev and data[offs[j] + 3] in (
                     H.EXTENSION_START_CODE, H.USER_DATA_START_CODE):
@@ -89,8 +100,12 @@ def split_gops(data: bytes) -> List[GopChunk]:
             seq_hdr = data[off:offs[j]]
             if cur_start is None:
                 cur_start, cur_prefix = off, b""
+        elif code == H.EXTENSION_START_CODE:
+            if H.BitReader(data, (off + 4) * 8).read(4) == \
+                    H.QUANT_MATRIX_EXTENSION_ID:
+                qm_live = True
         elif code == H.GROUP_START_CODE:
-            if cur_pics > 0 and closed_at(i):
+            if cur_pics > 0 and not qm_live and closed_at(i):
                 close(off)
             if cur_start is None:
                 cur_start = off
