@@ -50,8 +50,6 @@ def precompile_chunk_variants(dec, data) -> None:
     2+ variants in parallel roughly halves the warmup wall time)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    import jax
-    import jax.numpy as jnp
     import numpy as np
     from tiny_mp2v_dec_tpu.ops.recon import _ladder
 
@@ -68,19 +66,9 @@ def precompile_chunk_variants(dec, data) -> None:
         variants.add((_ladder(total_nz + 1, lo=4096), _ladder(total_k + 1)))
     recon = dec._gop_recon_for(geom, False)
 
-    def compile_one(key):
-        cap_pairs, cap_k = key
-        total = recon._layout(cap_pairs, cap_k)[-1]
-        blob = jnp.zeros(total, jnp.uint8)
-        flags = jnp.zeros(chunk, bool)
-        lp = jnp.zeros(geom.luma_padded, jnp.uint8)
-        cp = jnp.zeros(geom.chroma_padded, jnp.uint8)
-        out = recon._fn(blob, flags, flags, lp, cp, cp, lp, cp, cp,
-                        cap_pairs=cap_pairs, cap_k=cap_k)
-        jax.block_until_ready(out)
-
     with ThreadPoolExecutor(max_workers=max(len(variants), 1)) as ex:
-        list(ex.map(compile_one, sorted(variants)))
+        list(ex.map(lambda key: recon.ensure_compiled(*key),
+                    sorted(variants)))
 
 
 def main() -> int:

@@ -48,21 +48,24 @@ def _recon_args(rng, geom):
             *r0, *r1)
 
 
+@pytest.mark.parametrize("mc_impl", ["roll", "swar"])
 @pytest.mark.parametrize("cf,w,h", [
     (H.CHROMA_420, 192, 112),
     (H.CHROMA_422, 320, 128),
     (H.CHROMA_444, 192, 96),
 ])
-def test_fused_mc_recon_interpret_parity(cf, w, h):
-    """Fused Pallas MC kernel == jnp gather formulation, full random MV
-    coverage (all phases, both directions, bidir, uncoded MBs, dct_type)."""
+def test_fused_mc_recon_interpret_parity(cf, w, h, mc_impl):
+    """Fused Pallas MC kernels (both implementations) == jnp gather
+    formulation, full random MV coverage (all phases, both directions,
+    bidir, uncoded MBs, dct_type)."""
     rng = np.random.default_rng(42 + cf)
     geom = PictureGeometry(width=w, height=h, chroma_format=cf)
     args = _recon_args(rng, geom)
     a = DeviceRecon(geom, field_support=False, use_pallas_mc=False,
                     use_pallas_idct=False)._fn(*args)
     b = DeviceRecon(geom, field_support=False, use_pallas_mc=True,
-                    use_pallas_idct=True, pallas_interpret=True)._fn(*args)
+                    use_pallas_idct=True, pallas_interpret=True,
+                    mc_impl=mc_impl)._fn(*args)
     for comp, (x, y) in enumerate(zip(a, b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=f"component {comp}")

@@ -163,6 +163,140 @@ def pad_ref_plane(plane, h: int, w: int):
     return jnp.zeros((hp, wp), jnp.uint8).at[:H, :W].set(plane)
 
 
+# ----------------------------------------------------------------------
+# SWAR variant: 4 pixels per 32-bit lane.
+#
+# The roll-variant kernel above rotates (ROWS, 256) int32 windows — 8+
+# vregs per gather, and the dynamic rotates dominate the kernel.  Packing
+# 4 pixels into each 32-bit lane shrinks every window to (ROWS, 64) lanes
+# (2 vregs), and MPEG-2's (a+b+1)>>1 rounding is computed per-byte with
+# the carry-free identity avg_up(x, y) = (x|y) - (((x^y)>>1) & 0x7f7f7f7f)
+# — valid because (x+y+1)>>1 == (x|y) - ((x^y)>>1) for unsigned bytes and
+# the mask kills bits shifted across byte boundaries.  The three-stage
+# MPEG-2 rounding chain is exactly avg_up(avg_up(a,b), avg_up(c,d)) and
+# the bidirectional average is one more avg_up, so the whole prediction
+# stays packed; the kernel emits the packed (H, W/4) uint32 prediction and
+# the byte unpack + residual add + saturation run as one fused XLA
+# elementwise epilogue (ops/recon.py), which also lets the residual carry
+# the uncoded-MB mask (res = -256 forces clip -> 0).
+
+def _avg_up(x, y):
+    """Per-byte (x+y+1)>>1 on packed uint32 lanes (no carries)."""
+    return (x | y) - (((x ^ y) >> 1) & jnp.uint32(0x7F7F7F7F))
+
+
+def pack_ref_words(padded):
+    """(Hp, Wp) uint8 -> (Hp, Wp//4) uint32, pixel x at byte x%4 (LSB
+    first) of word x//4."""
+    H, W = padded.shape
+    return jax.lax.bitcast_convert_type(
+        padded.reshape(H, W // 4, 4), jnp.uint32)
+
+
+def unpack_words(words):
+    """(H, W//4) uint32 -> (H, W) uint8 (inverse of pack_ref_words)."""
+    H, Ww = words.shape
+    return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(H, Ww * 4)
+
+
+def _gather_pred_swar(refw, sy, sx, ph, h, w):
+    """One unidirectional half-pel prediction, packed: (h, w//2) uint32
+    (caller keeps [:, :w//4]).  refw: word-packed reference plane."""
+    rows = _load_rows(h)
+    sy0 = pl.multiple_of((sy >> 3) << 3, 8)
+    ry = sy - sy0
+    sx0 = pl.multiple_of((sx >> 7) << 7, 128)
+    rx = sx - sx0
+    wx0 = pl.multiple_of(sx0 >> 2, 32)
+    win = refw[pl.ds(sy0, rows), pl.ds(wx0, 64)]
+    # whole-word part of the misalignment: lane roll on 2 vregs
+    win = pltpu.roll(win, -(rx >> 2), axis=1)
+    win = pltpu.roll(win, -ry, axis=0)
+    # sub-word part: funnel-shift each word with its right neighbour so
+    # pixel sx lands at byte 0 of word 0 (s == 0 guarded: <<32 is UB)
+    s = ((rx & 3) << 3).astype(jnp.uint32)
+    nxt = pltpu.roll(win, 63, axis=1)   # static roll by -1 (n-1 ≡ -1 mod n)
+    a = jnp.where(s == jnp.uint32(0), win,
+                  (win >> s) | (nxt << ((jnp.uint32(32) - s) & jnp.uint32(31))))
+    aw = max(2 * w // 4, 2)
+    a = a[:h + 1, :aw]
+    # +1-pixel taps: funnel shift by one byte / one row
+    b = (a >> jnp.uint32(8)) | (pltpu.roll(a, aw - 1, axis=1) << jnp.uint32(24))
+    c = a[1:, :]
+    d = b[1:, :]
+    a_, b_ = a[:h], b[:h]
+    ab = _avg_up(a_, b_)
+    ac = _avg_up(a_, c)
+    abcd = _avg_up(ab, _avg_up(c, d))
+    hx = (ph & 1) != 0
+    hy = (ph & 2) != 0
+    return jnp.where(hx & hy, abcd, jnp.where(hx, ab, jnp.where(hy, ac, a_)))
+
+
+def _make_kernel_swar(h: int, w: int, mbw: int, rows_per_step: int,
+                      bidir: bool):
+    wpmb = w // 4
+    def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+               mode_ref, ref0, ref1, out_ref):
+        r = pl.program_id(0)
+        for j in range(rows_per_step):
+            for mb in range(mbw):
+                i = (r * rows_per_step + j) * mbw + mb
+                m = mode_ref[i]
+                pf = _gather_pred_swar(ref0, syf_ref[i], sxf_ref[i],
+                                       phf_ref[i], h, w)[:, :wpmb]
+                f = (m & 1) != 0
+                if bidir:
+                    pb = _gather_pred_swar(ref1, syb_ref[i], sxb_ref[i],
+                                           phb_ref[i], h, w)[:, :wpmb]
+                    bk = (m & 2) != 0
+                    both = _avg_up(pf, pb)
+                    pred = jnp.where(
+                        f & bk, both,
+                        jnp.where(f, pf, jnp.where(bk, pb, jnp.uint32(0))))
+                else:
+                    pred = jnp.where(f, pf, jnp.uint32(0))
+                out_ref[j * h:(j + 1) * h,
+                        mb * wpmb:(mb + 1) * wpmb] = pred
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "H", "W", "interpret",
+                                    "bidir"))
+def fused_mc_pred_swar(ref0w, ref1w, syf, sxf, phf, syb, sxb, phb, mode,
+                       *, h: int, w: int, H: int, W: int,
+                       interpret: bool = False, bidir: bool = True):
+    """Packed motion-compensated prediction: (H, W//4) uint32.
+
+    ref0w/ref1w: ``pack_ref_words(pad_ref_plane(...))`` planes; other
+    arguments as in :func:`fused_mc_recon` (mode needs only bits 1=fwd,
+    2=bwd — the coded mask rides the residual in the XLA epilogue)."""
+    mbw = W // w
+    band = 16 if (16 % h == 0 and H % 16 == 0) else h
+    rows_per_step = band // h
+    grid = H // band
+    kernel = _make_kernel_swar(h, w, mbw, rows_per_step, bidir)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(ref0w.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ref1w.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, W // 4), lambda r, *_: (r, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W // 4), jnp.uint32),
+        interpret=interpret,
+    )(syf, sxf, phf, syb, sxb, phb, mode, ref0w, ref1w)
+
+
 def mc_meta(pos_y, pos_x, mvx, mvy, H: int, W: int, h: int, w: int):
     """Per-MB window start + phase from half-pel MVs (clamp identical to
     ops/mc.gather_windows: dynamic-slice start clamped into the padded

@@ -20,7 +20,8 @@ from ..headers import CHROMA_420
 from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureTokens
 from .idct import idct_blocks_jnp, idct_blocks_pallas
 from .mc import (mc_bidir_tiles, mc_field_tiles, mc_unidir_tiles, pad_for_mc)
-from .mc_pallas import fused_mc_recon, mc_meta, pad_ref_plane
+from .mc_pallas import (fused_mc_pred_swar, fused_mc_recon, mc_meta,
+                        pack_ref_words, pad_ref_plane, unpack_words)
 
 
 def _tiles_from_blocks(blocks, rows, cols, interleave_mask):
@@ -179,6 +180,12 @@ def _load_packers():
     return count_pairs, pack_pairs
 
 
+# Default fused-MC kernel implementation (see DeviceRecon.mc_impl);
+# overridable for experiments via MP2V_MC_IMPL.
+import os as _os
+_DEFAULT_MC_IMPL = _os.environ.get("MP2V_MC_IMPL", "swar")
+
+
 def _sparse_src_map(cblk_idx, k, n_rows, dummy, out=None):
     """Dense-row -> sparse-row gather map: src[j] = position of block j in
     the sparse row array, or ``dummy`` (a zeroed padding row) if uncoded.
@@ -201,7 +208,8 @@ class DeviceRecon:
     def __init__(self, geom: PictureGeometry, field_support: bool = True,
                  use_pallas_idct: bool | None = None,
                  use_pallas_mc: bool | None = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 mc_impl: str | None = None):
         self.geom = geom
         self.field_support = field_support
         on_tpu = jax.default_backend() == "tpu"
@@ -214,6 +222,10 @@ class DeviceRecon:
         if use_pallas_mc is None:
             use_pallas_mc = on_tpu
         self.use_pallas_mc = use_pallas_mc and not field_support
+        # "roll": int32 windows rotated in-register; "swar": 4 px per
+        # 32-bit lane with per-byte rounding (4x fewer vregs per gather —
+        # measured faster on v5e, see PERF_NOTES.md r4).
+        self.mc_impl = mc_impl if mc_impl is not None else _DEFAULT_MC_IMPL
         self.pallas_interpret = pallas_interpret
 
         xs, ys, n_cb = CHROMA_INFO[geom.chroma_format]
@@ -372,8 +384,10 @@ class DeviceRecon:
         geom = self.geom
         cf = geom.chroma_format
         xs, ys, _ = CHROMA_INFO[cf]
-        mode = (fwd.astype(jnp.int32) + 2 * bwd.astype(jnp.int32)
-                + 4 * coded.astype(jnp.int32))
+        swar = self.mc_impl == "swar"
+        mode = fwd.astype(jnp.int32) + 2 * bwd.astype(jnp.int32)
+        if not swar:
+            mode = mode + 4 * coded.astype(jnp.int32)
         mbh, mbw = geom.mb_height, geom.mb_width
         planes = []
         for comp in range(3):
@@ -388,11 +402,28 @@ class DeviceRecon:
             syb, sxb, phb = mc_meta(pos_y, pos_x, mvc[:, 0, 1, 0],
                                     mvc[:, 0, 1, 1], H, W, h, w)
             p0, p1 = refs[comp]
-            planes.append(fused_mc_recon(
-                pad_ref_plane(p0, h, w), pad_ref_plane(p1, h, w), res_plane,
-                syf, sxf, phf, syb, sxb, phb, mode,
-                h=h, w=w, H=H, W=W, interpret=self.pallas_interpret,
-                bidir=bidir))
+            if swar:
+                # the uncoded-MB mask rides the residual: -256 saturates
+                # to 0 after the clip, so the kernel needs no coded bit
+                coded_px = jnp.broadcast_to(
+                    coded.reshape(mbh, mbw)[:, None, :, None],
+                    (mbh, h, mbw, w)).reshape(H, W)
+                res2 = jnp.where(coded_px, res_plane, jnp.int16(-256))
+                predw = fused_mc_pred_swar(
+                    pack_ref_words(pad_ref_plane(p0, h, w)),
+                    pack_ref_words(pad_ref_plane(p1, h, w)),
+                    syf, sxf, phf, syb, sxb, phb, mode,
+                    h=h, w=w, H=H, W=W, interpret=self.pallas_interpret,
+                    bidir=bidir)
+                pred = unpack_words(predw).astype(jnp.int16)
+                planes.append(
+                    jnp.clip(pred + res2, 0, 255).astype(jnp.uint8))
+            else:
+                planes.append(fused_mc_recon(
+                    pad_ref_plane(p0, h, w), pad_ref_plane(p1, h, w),
+                    res_plane, syf, sxf, phf, syb, sxb, phb, mode,
+                    h=h, w=w, H=H, W=W, interpret=self.pallas_interpret,
+                    bidir=bidir))
         return tuple(planes)
 
     def _recon_packed(self, cblk, cidx, meta, r0y, r0u, r0v, r1y, r1u, r1v,
@@ -494,27 +525,29 @@ _GOP_RECONS: dict = {}
 
 def device_recon(geom: PictureGeometry, field_support: bool = True,
                  use_pallas_idct=None, use_pallas_mc=None,
-                 pallas_interpret: bool = False) -> "DeviceRecon":
+                 pallas_interpret: bool = False,
+                 mc_impl: str | None = None) -> "DeviceRecon":
     key = (geom, field_support, use_pallas_idct, use_pallas_mc,
-           pallas_interpret)
+           pallas_interpret, mc_impl or _DEFAULT_MC_IMPL)
     if key not in _DEVICE_RECONS:
         _DEVICE_RECONS[key] = DeviceRecon(
             geom, field_support=field_support,
             use_pallas_idct=use_pallas_idct, use_pallas_mc=use_pallas_mc,
-            pallas_interpret=pallas_interpret)
+            pallas_interpret=pallas_interpret, mc_impl=mc_impl)
     return _DEVICE_RECONS[key]
 
 
 def gop_recon(geom: PictureGeometry, chunk: int, field_support: bool = False,
               use_pallas_idct=None, use_pallas_mc=None,
-              pallas_interpret: bool = False) -> "GopRecon":
+              pallas_interpret: bool = False,
+              mc_impl: str | None = None) -> "GopRecon":
     key = (geom, chunk, field_support, use_pallas_idct, use_pallas_mc,
-           pallas_interpret)
+           pallas_interpret, mc_impl or _DEFAULT_MC_IMPL)
     if key not in _GOP_RECONS:
         _GOP_RECONS[key] = GopRecon(
             geom, chunk, field_support=field_support,
             use_pallas_idct=use_pallas_idct, use_pallas_mc=use_pallas_mc,
-            pallas_interpret=pallas_interpret)
+            pallas_interpret=pallas_interpret, mc_impl=mc_impl)
     return _GOP_RECONS[key]
 
 
@@ -543,13 +576,15 @@ class GopRecon:
                  field_support: bool = False,
                  use_pallas_idct: bool | None = None,
                  use_pallas_mc: bool | None = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 mc_impl: str | None = None):
         self.geom = geom
         self.chunk = chunk
         self.inner = DeviceRecon(geom, field_support=field_support,
                                  use_pallas_idct=use_pallas_idct,
                                  use_pallas_mc=use_pallas_mc,
-                                 pallas_interpret=pallas_interpret)
+                                 pallas_interpret=pallas_interpret,
+                                 mc_impl=mc_impl)
         self._fn = jax.jit(self._gop, static_argnames=("cap_pairs", "cap_k"))
         self._stage = {}       # keyed by (pair cap, row cap, parity)
         self._stage_busy = {}  # see DeviceRecon._upload slot guard
@@ -560,6 +595,16 @@ class GopRecon:
         # mutable — concurrent decoders must serialize (see DeviceRecon).
         import threading
         self._call_lock = threading.Lock()
+        # prepared-but-not-dispatched chunks are bounded so a staging slot
+        # is never refilled before its blob was consumed (prepare/dispatch
+        # may run on different pipeline threads)
+        self._cv = threading.Condition()
+        self._seq_prep = 0
+        self._seq_disp = 0
+        # shape variants that have been dispatched at least once; lets
+        # prepare() fall back to a larger already-compiled bucket and
+        # background-compile the exact one (no mid-stream compile stall)
+        self._compiled: set = set()
 
     def _layout(self, cap_pairs: int, cap_k: int):
         """Byte offsets of the five sections inside the single consolidated
@@ -675,26 +720,39 @@ class GopRecon:
                     np.int16).reshape(self.chunk, g.n_mb, cols))
         return self._stage[key]
 
+    # number of staging slots per (cap_pairs, cap_k): bounds how many
+    # prepared-but-not-uploaded chunks can be in flight
+    N_SLOTS = 3
+
     def __call__(self, tokens_list, pct_list, ref0=None, ref1=None):
         """tokens_list: up to ``chunk`` PictureTokens (padded internally with
         no-op pictures); pct_list: picture_coding_type per picture.
         Returns (ref0, ref1, packed (chunk, frame_bytes)) — caller takes
         packed[:len(tokens_list)]."""
-        with self._call_lock:
-            return self._call_impl(tokens_list, pct_list, ref0, ref1)
+        staged = self.prepare(tokens_list, pct_list)
+        return self.dispatch(staged, ref0, ref1)
 
-    def _call_impl(self, tokens_list, pct_list, ref0=None, ref1=None):
+    def prepare(self, tokens_list, pct_list):
+        """Stage 1, host-only: pack nonzero (column, value) pairs + per-row
+        counts + metadata into a staging slot.  Pairs are globally sorted:
+        sparse rows are numbered in claim order per picture, pictures in
+        chunk order, each row walked column-major — strictly ascending.
+        The scans run in the C extension when available (single linear
+        pass at memory speed, ~10x numpy nonzero/bincount/fancy-indexing).
+
+        Returns an opaque staged tuple for :meth:`dispatch`.  Safe to call
+        from a fill thread while another thread dispatches earlier chunks;
+        calls themselves are serialized by an internal lock and slots are
+        recycled only after their upload completed."""
+        with self._call_lock:
+            return self._prepare_impl(tokens_list, pct_list)
+
+    def _prepare_impl(self, tokens_list, pct_list):
         t = len(tokens_list)
         assert 0 < t <= self.chunk
         g = self.geom
         n_rows = g.n_mb * g.blocks_per_mb
 
-        # pack nonzero (column, value) pairs + per-row counts, globally
-        # sorted: sparse rows are numbered in claim order per picture,
-        # pictures in chunk order, each row walked column-major — strictly
-        # ascending.  The scans run in the C extension when available
-        # (single linear pass at memory speed, ~10x numpy
-        # nonzero/bincount/fancy-indexing); numpy otherwise.
         if self._packers is None:
             self._packers = _load_packers()
         count_pairs, pack_pairs_fn = self._packers
@@ -711,11 +769,30 @@ class GopRecon:
                                     nnz[off:off + k])
             off += k
         cap_pairs = _ladder(total_nz + 1, lo=4096)
+        # never stall the pipeline on a new shape variant: pick the
+        # smallest already-compiled bucket that fits (more padding, same
+        # result) and compile the exact one in the background for
+        # subsequent chunks (tunneled-platform compiles run minutes)
+        exact = (cap_pairs, cap_k)
+        if self._compiled and exact not in self._compiled:
+            fits = [c for c in self._compiled
+                    if c[0] >= cap_pairs and c[1] >= cap_k]
+            if fits:
+                import threading
+                threading.Thread(target=self._ensure_quiet, args=exact,
+                                 daemon=True).start()
+                cap_pairs, cap_k = min(
+                    fits, key=lambda c: self._layout(c[0], c[1])[-1])
+        with self._cv:
+            while self._seq_prep - self._seq_disp >= self.N_SLOTS - 1:
+                self._cv.wait()
+            self._seq_prep += 1
         key = (cap_pairs, cap_k, self._stage_idx)
-        self._stage_idx ^= 1
+        self._stage_idx = (self._stage_idx + 1) % self.N_SLOTS
         blob, pp, pv, pn, sp, sm = self._staging(cap_pairs, cap_k, key[2])
         if self._stage_busy.get(key) is not None:
             jax.block_until_ready(self._stage_busy[key])
+            self._stage_busy[key] = None
         pn[:off] = nnz[:off]
         p = 0
         off = 0
@@ -737,16 +814,54 @@ class GopRecon:
         is_b[:t] = [pc == 3 for pc in pct_list]
         is_b[t:] = True  # padding steps must not touch the reference list
         is_ip = ~is_b
+        return (key, blob, is_b, is_ip)
+
+    def dispatch(self, staged, ref0=None, ref1=None):
+        """Stage 2: upload the staged blob and dispatch the chunk program.
+        Must be called in chunk order (the reference planes are a carry);
+        returns (ref0, ref1, packed)."""
+        key, blob, is_b, is_ip = staged
+        cap_pairs, cap_k = key[0], key[1]
         if ref0 is None:
             ref0 = self.inner.zero_planes()
         if ref1 is None:
             ref1 = self.inner.zero_planes()
-        up = jnp.asarray(blob)
-        out = self._fn(up, jnp.asarray(is_b), jnp.asarray(is_ip),
-                       *ref0, *ref1, cap_pairs=cap_pairs, cap_k=cap_k)
-        # Slot guard: outputs on CPU (zero-copy aliasing — see
-        # DeviceRecon.__init__), the uploaded blob on device backends
-        # (real copy; guarding outputs would throttle the chunk pipeline).
-        self._stage_busy[key] = out if jax.default_backend() == "cpu" else up
+        try:
+            up = jnp.asarray(blob)
+            out = self._fn(up, jnp.asarray(is_b), jnp.asarray(is_ip),
+                           *ref0, *ref1, cap_pairs=cap_pairs, cap_k=cap_k)
+            # Slot guard: outputs on CPU (zero-copy aliasing — see
+            # DeviceRecon.__init__), the uploaded blob on device backends
+            # (real copy; guarding outputs would throttle the pipeline).
+            self._stage_busy[key] = out if jax.default_backend() == "cpu" \
+                else up
+            self._compiled.add((cap_pairs, cap_k))
+        finally:
+            # release the staging-slot bound even on failure (a stuck
+            # prepare() would otherwise deadlock the fill thread)
+            with self._cv:
+                self._seq_disp += 1
+                self._cv.notify_all()
         r0, r1, packs = out[0:3], out[3:6], out[6]
         return r0, r1, packs
+
+    def _ensure_quiet(self, cap_pairs: int, cap_k: int):
+        try:
+            self.ensure_compiled(cap_pairs, cap_k)
+        except Exception:
+            pass
+
+    def ensure_compiled(self, cap_pairs: int, cap_k: int):
+        """Compile the (cap_pairs, cap_k) shape variant if unseen — called
+        from a background thread on first sight of a new bucket so a
+        mid-stream density change doesn't stall the pipeline on a
+        (minutes-long, on tunneled platforms) compile."""
+        g = self.geom
+        total = self._layout(cap_pairs, cap_k)[-1]
+        blob = jnp.zeros(total, jnp.uint8)
+        flags = jnp.zeros(self.chunk, bool)
+        zeros = self.inner.zero_planes()
+        out = self._fn(blob, flags, flags, *zeros, *zeros,
+                       cap_pairs=cap_pairs, cap_k=cap_k)
+        jax.block_until_ready(out)
+        self._compiled.add((cap_pairs, cap_k))

@@ -177,8 +177,12 @@ class MP2VDecoder:
         if getattr(self, "_chunk_jobs", None):
             self._join_chunks()
         self._chunk_jobs = []
-        if not hasattr(self, "_chunk_pool"):
-            self._chunk_pool = None  # created lazily, persists across resets
+        if not hasattr(self, "_fill_pool"):
+            # created lazily, persist across resets: fill thread packs
+            # chunk N+1's staging while the dispatch thread uploads/runs
+            # chunk N and the main thread tokenizes chunk N+2
+            self._fill_pool = None
+            self._disp_pool = None
         self.seq: Optional[H.SequenceHeader] = None
         self.sext = H.SequenceExtension()
         self.sscal = None
@@ -190,8 +194,8 @@ class MP2VDecoder:
         self.user_data: List[bytes] = []  # reference: decoder.cpp:194-200
         self._chunk: List[tuple] = []  # (tokens, geom, ph) awaiting batch
         self._frames: List[DecodedFrame] = []
-        self.stats = {"pictures": 0, "tokenize_s": 0.0, "device_s": 0.0,
-                      "output_s": 0.0}
+        self.stats = {"pictures": 0, "tokenize_s": 0.0, "fill_s": 0.0,
+                      "device_s": 0.0, "output_s": 0.0}
 
     # ------------------------------------------------------------------
     def _pallas_opts(self):
@@ -204,10 +208,20 @@ class MP2VDecoder:
         return device_recon(geom, field_support=field_support,
                             **self._pallas_opts())
 
-    def _gop_recon_for(self, geom: PictureGeometry, field_support: bool):
+    def _gop_recon_for(self, geom: PictureGeometry, field_support: bool,
+                       size: int = 0):
         from ..ops.recon import gop_recon
-        return gop_recon(geom, self.config.gop_chunk,
+        return gop_recon(geom, size or self.config.gop_chunk,
                          field_support=field_support, **self._pallas_opts())
+
+    @staticmethod
+    def _tail_chunk_size(t: int, full: int) -> int:
+        """Compiled chunk size for a tail of t pictures: the next power of
+        two (so a 17-picture stream costs 16+1 scan steps, not 32)."""
+        s = 1
+        while s < t:
+            s <<= 1
+        return min(s, full)
 
     def _mesh_recon_for(self, geom: PictureGeometry, field_support: bool):
         from ..parallel.mesh import RowShardedRecon, make_mesh
@@ -408,19 +422,32 @@ class MP2VDecoder:
             self._emit(pending)
 
     def _flush_chunk(self) -> None:
-        """Hand the collected chunk to the single reconstruction worker
-        thread, so the staging fill + host->device upload of chunk N
-        overlaps the tokenization of chunk N+1 (jnp.asarray through remote
-        transports blocks the calling thread for the staging copy — on the
-        main thread that would serialize the whole pipeline)."""
+        """Hand the collected chunk to the two-stage reconstruction
+        pipeline: a fill thread packs the staging blob (GopRecon.prepare),
+        a dispatch thread uploads + runs the chunk program
+        (GopRecon.dispatch) and owns the device reference list.  So at
+        steady state: main thread tokenizes chunk N+2, fill thread packs
+        N+1, dispatch thread uploads N while the device still executes
+        N-1 — the wall clock per chunk is the slowest single stage, not
+        their sum (jnp.asarray through remote transports blocks its
+        calling thread for the whole staging copy)."""
         if not self._chunk:
             return
         batch, self._chunk = self._chunk, []
-        if self._chunk_pool is None:
+        if self._fill_pool is None:
             from concurrent.futures import ThreadPoolExecutor
-            self._chunk_pool = ThreadPoolExecutor(max_workers=1)
-        f = self._chunk_pool.submit(self._run_chunk, batch)
-        self._chunk_jobs.append(f)
+            self._fill_pool = ThreadPoolExecutor(max_workers=1)
+            self._disp_pool = ThreadPoolExecutor(max_workers=1)
+        geom = batch[0][1]
+        tokens_list = [b[0] for b in batch]
+        pcts = [b[2].picture_coding_type for b in batch]
+        field = any(bool(t.field_pred.any()) for t in tokens_list)
+        size = self._tail_chunk_size(len(batch), self.config.gop_chunk)
+        recon = self._gop_recon_for(geom, field, size)
+        fill_f = self._fill_pool.submit(self._fill_job, recon,
+                                        tokens_list, pcts)
+        disp_f = self._disp_pool.submit(self._disp_job, recon, fill_f, batch)
+        self._chunk_jobs.append(disp_f)
         # bound in-flight chunks (device memory back-pressure) and surface
         # worker exceptions promptly
         while len(self._chunk_jobs) > 2:
@@ -430,17 +457,19 @@ class MP2VDecoder:
         while self._chunk_jobs:
             self._chunk_jobs.pop(0).result()
 
-    def _run_chunk(self, batch) -> None:
-        """Worker-thread body: sequential per chunk (jobs run on one
-        executor thread), owns the device reference list."""
-        geom = batch[0][1]
-        tokens_list = [b[0] for b in batch]
-        pcts = [b[2].picture_coding_type for b in batch]
-        field = any(bool(t.field_pred.any()) for t in tokens_list)
-        recon = self._gop_recon_for(geom, field)
+    def _fill_job(self, recon, tokens_list, pcts):
         t0 = time.perf_counter()
-        r0, r1, packs = recon(tokens_list, pcts,
-                              self._refs[0], self._refs[1])
+        staged = recon.prepare(tokens_list, pcts)
+        self.stats["fill_s"] += time.perf_counter() - t0
+        return staged
+
+    def _disp_job(self, recon, fill_f, batch) -> None:
+        """Dispatch-thread body: sequential across chunks (one executor
+        thread), owns the device reference list."""
+        staged = fill_f.result()
+        geom = batch[0][1]
+        t0 = time.perf_counter()
+        r0, r1, packs = recon.dispatch(staged, self._refs[0], self._refs[1])
         self._refs = [r0, r1]
         self.stats["device_s"] += time.perf_counter() - t0
 
