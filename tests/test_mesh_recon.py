@@ -125,3 +125,45 @@ def test_stream_batch_recon_matches_single(mesh8):
         np.testing.assert_array_equal(np.asarray(y[i]), np.asarray(exp[0]))
         np.testing.assert_array_equal(np.asarray(u[i]), np.asarray(exp[1]))
         np.testing.assert_array_equal(np.asarray(v[i]), np.asarray(exp[2]))
+
+
+def test_stream_batch_heterogeneous_gops_bitexact():
+    """16 streams with DIFFERENT GOP structures and lengths decode
+    batch-parallel bit-exact vs per-stream golden (VERDICT r3 #5: the
+    per-stream picture types are data, shorter streams pad with no-op
+    pictures — batch workers are content-agnostic like the reference's,
+    threads.cpp:138-159)."""
+    patterns = [
+        (H.PCT_I, H.PCT_P, H.PCT_B, H.PCT_P, H.PCT_B),
+        (H.PCT_I, H.PCT_B, H.PCT_B, H.PCT_P),
+        (H.PCT_I, H.PCT_I, H.PCT_P),
+        (H.PCT_I, H.PCT_P, H.PCT_P, H.PCT_P, H.PCT_B, H.PCT_B),
+    ]
+    streams = [_stream(300 + i, pcts=patterns[i % len(patterns)],
+                       n_pics=len(patterns[i % len(patterns)]))
+               for i in range(16)]
+    dec = MP2VDecoder(DecoderConfig())
+    got = dec.decode_batch(streams)
+    assert len(got) == 16
+    for s, frames in zip(streams, got):
+        exp = _golden_frames(s)
+        assert len(frames) == len(exp)
+        for a, b in zip(exp, frames):
+            np.testing.assert_array_equal(a.y, b.y)
+            np.testing.assert_array_equal(a.u, b.u)
+            np.testing.assert_array_equal(a.v, b.v)
+
+
+def test_stream_batch_mixed_geometry_groups():
+    """Streams of two geometries in one decode_batch call: grouped and
+    decoded per-geometry, outputs mapped back to input order."""
+    a = _stream(400, mbw=4, mbh=8)
+    b = _stream(401, mbw=6, mbh=4)
+    c = _stream(402, mbw=4, mbh=8)
+    dec = MP2VDecoder(DecoderConfig())
+    got = dec.decode_batch([a, b, c])
+    for s, frames in zip((a, b, c), got):
+        exp = _golden_frames(s)
+        assert len(frames) == len(exp)
+        for x, y in zip(exp, frames):
+            np.testing.assert_array_equal(x.y, y.y)

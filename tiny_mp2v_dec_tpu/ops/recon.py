@@ -585,6 +585,9 @@ class GopRecon:
                                  use_pallas_mc=use_pallas_mc,
                                  pallas_interpret=pallas_interpret,
                                  mc_impl=mc_impl)
+        # within-picture dense-grid index fits uint16 for every geometry up
+        # to ~2.7K-wide video; 0xFFFF is the padding sentinel
+        self._scat_u16 = geom.n_mb * geom.blocks_per_mb < 0xFFFF
         self._fn = jax.jit(self._gop, static_argnames=("cap_pairs", "cap_k"))
         self._stage = {}       # keyed by (pair cap, row cap, parity)
         self._stage_busy = {}  # see DeviceRecon._upload slot guard
@@ -607,41 +610,68 @@ class GopRecon:
         self._compiled: set = set()
 
     def _layout(self, cap_pairs: int, cap_k: int):
-        """Byte offsets of the five sections inside the single consolidated
+        """Byte offsets of the six sections inside the single consolidated
         upload blob (each 4-byte aligned): pair_pos uint8 (column of each
         nonzero, 255 for padding), pair_val int16, row_nnz uint8 (nonzeros
         per coded row — pair row ids are rebuilt on device by scatter-add +
-        cumsum), scat_pos int32, meta int16.  One flat uint8 transfer
-        instead of five — every transfer pays a full tunnel round trip on
-        remote platforms."""
+        cumsum), scat_pos (uint16 within-picture index when the dense grid
+        fits — the picture id is rebuilt on device from pic_k, halving the
+        section — else int32 absolute), pic_k int32 (coded rows per
+        picture), meta int16.  One flat uint8 transfer instead of six —
+        every transfer pays a full tunnel round trip on remote
+        platforms."""
         g = self.geom
+        sb = 2 if self._scat_u16 else 4
         o0 = 0
         o1 = (o0 + cap_pairs + 3) & ~3           # pair_val
         o2 = (o1 + cap_pairs * 2 + 3) & ~3       # row_nnz
         o3 = (o2 + cap_k + 3) & ~3               # scat_pos
-        o4 = o3 + cap_k * 4                      # meta
+        o4 = (o3 + cap_k * sb + 3) & ~3          # pic_k
+        o5 = o4 + self.chunk * 4                 # meta
         cols = meta2_cols(self.inner.field_support)
-        total = o4 + ((self.chunk * g.n_mb * cols * 2 + 3) & ~3)
-        return (o0, o1, o2, o3, o4, total)
+        total = o5 + ((self.chunk * g.n_mb * cols * 2 + 3) & ~3)
+        return (o0, o1, o2, o3, o4, o5, total)
 
-    def _gop(self, blob, is_b, is_ip, r0y, r0u, r0v, r1y, r1u, r1v,
-             *, cap_pairs, cap_k):
+    def _decode_blob(self, blob, *, cap_pairs, cap_k):
+        """Device-side transport decode: consolidated uint8 blob ->
+        (residual dense (chunk, n_rows, 64) int16, meta (chunk, n_mb,
+        cols) int16).  Shared by the GOP-chunk scan and the stream-batch
+        vmap (parallel/mesh.py) — 'chunk' indexes pictures there streams."""
         inner = self.inner
         geom = self.geom
         n_rows = geom.n_mb * geom.blocks_per_mb
-        o0, o1, o2, o3, o4, _ = self._layout(cap_pairs, cap_k)
+        o0, o1, o2, o3, o4, o5, _ = self._layout(cap_pairs, cap_k)
         bc = jax.lax.bitcast_convert_type
         cols = meta2_cols(inner.field_support)
         pair_pos = blob[o0:o0 + cap_pairs]
         pair_val = bc(blob[o1:o1 + cap_pairs * 2].reshape(-1, 2), jnp.int16)
         row_nnz = blob[o2:o2 + cap_k]
-        scat_pos = bc(blob[o3:o3 + cap_k * 4].reshape(-1, 4), jnp.int32)
+        if self._scat_u16:
+            # within-picture index + picture id rebuilt from per-picture
+            # row counts (same scatter-add + cumsum trick as the pair row
+            # ids below); 0xFFFF rows are padding
+            s16 = bc(blob[o3:o3 + cap_k * 2].reshape(-1, 2),
+                     jnp.uint16).astype(jnp.int32)
+            pic_k = bc(blob[o4:o4 + self.chunk * 4].reshape(-1, 4),
+                       jnp.int32)
+            offp = jnp.cumsum(pic_k) - pic_k
+            markp = jnp.zeros(cap_k, jnp.int32).at[offp].add(1, mode="drop")
+            pic = jnp.cumsum(markp) - 1
+            scat_pos = jnp.where(
+                s16 == 0xFFFF,
+                self.chunk * n_rows + jax.lax.iota(jnp.int32, cap_k),
+                pic * n_rows + s16)
+        else:
+            scat_pos = bc(blob[o3:o3 + cap_k * 4].reshape(-1, 4), jnp.int32)
+            # padding rows must not share one OOB index under
+            # unique_indices=True (documented UB) — spread them
+            scat_pos = jnp.where(
+                scat_pos >= self.chunk * n_rows,
+                self.chunk * n_rows + jax.lax.iota(jnp.int32, cap_k),
+                scat_pos)
         nm = self.chunk * geom.n_mb * cols
-        meta = bc(blob[o4:o4 + nm * 2].reshape(-1, 2), jnp.int16)
+        meta = bc(blob[o5:o5 + nm * 2].reshape(-1, 2), jnp.int16)
         meta = meta.reshape(self.chunk, geom.n_mb, cols)
-        xs_, ys_, _ = CHROMA_INFO[geom.chroma_format]
-        cw = (geom.width + (1 << xs_) - 1) >> xs_
-        ch = (geom.height + (1 << ys_) - 1) >> ys_
 
         # 1) nonzero pairs -> coded coefficient rows.  The row id of each
         #    pair is reconstructed from per-row nonzero counts: rows mark
@@ -675,7 +705,17 @@ class GopRecon:
         # 3) place residual blocks into the per-picture dense grid
         dense = jnp.zeros((self.chunk * n_rows, 64), jnp.int16).at[
             scat_pos].set(res_rows, unique_indices=True, mode="drop")
-        dense = dense.reshape(self.chunk, n_rows, 64)
+        return dense.reshape(self.chunk, n_rows, 64), meta
+
+    def _gop(self, blob, is_b, is_ip, r0y, r0u, r0v, r1y, r1u, r1v,
+             *, cap_pairs, cap_k):
+        inner = self.inner
+        geom = self.geom
+        dense, meta = self._decode_blob(blob, cap_pairs=cap_pairs,
+                                        cap_k=cap_k)
+        xs_, ys_, _ = CHROMA_INFO[geom.chroma_format]
+        cw = (geom.width + (1 << xs_) - 1) >> xs_
+        ch = (geom.height + (1 << ys_) - 1) >> ys_
 
         def step(carry, xs):
             r0, r1 = carry
@@ -708,15 +748,17 @@ class GopRecon:
         if self._stage.get(key) is None:
             g = self.geom
             cols = meta2_cols(self.inner.field_support)
-            o0, o1, o2, o3, o4, total = self._layout(cap_pairs, cap_k)
+            o0, o1, o2, o3, o4, o5, total = self._layout(cap_pairs, cap_k)
+            sdt, sb = (np.uint16, 2) if self._scat_u16 else (np.int32, 4)
             blob = np.zeros(total, np.uint8)
             self._stage[key] = (
                 blob,
                 blob[o0:o0 + cap_pairs],
                 blob[o1:o1 + cap_pairs * 2].view(np.int16),
                 blob[o2:o2 + cap_k],
-                blob[o3:o3 + cap_k * 4].view(np.int32),
-                blob[o4:o4 + self.chunk * g.n_mb * cols * 2].view(
+                blob[o3:o3 + cap_k * sb].view(sdt),
+                blob[o4:o4 + self.chunk * 4].view(np.int32),
+                blob[o5:o5 + self.chunk * g.n_mb * cols * 2].view(
                     np.int16).reshape(self.chunk, g.n_mb, cols))
         return self._stage[key]
 
@@ -789,7 +831,7 @@ class GopRecon:
             self._seq_prep += 1
         key = (cap_pairs, cap_k, self._stage_idx)
         self._stage_idx = (self._stage_idx + 1) % self.N_SLOTS
-        blob, pp, pv, pn, sp, sm = self._staging(cap_pairs, cap_k, key[2])
+        blob, pp, pv, pn, sp, pk, sm = self._staging(cap_pairs, cap_k, key[2])
         if self._stage_busy.get(key) is not None:
             jax.block_until_ready(self._stage_busy[key])
             self._stage_busy[key] = None
@@ -801,13 +843,18 @@ class GopRecon:
             k = tok.n_coded_blocks
             p += pack_pairs_fn(np.ascontiguousarray(tok.cblk[:k]),
                                pp[p:], pv[p:])
-            sp[off:off + k] = i * n_rows + tok.cblk_idx[:k]
+            if self._scat_u16:
+                sp[off:off + k] = tok.cblk_idx[:k].astype(np.uint16)
+            else:
+                sp[off:off + k] = i * n_rows + tok.cblk_idx[:k]
+            pk[i] = k
             off += k
             pack_meta2(tok, fs, out=sm[i])
         assert p == total_nz
         pp[p:] = 255                 # padding pairs resolve out of range
         pn[off:] = 0
-        sp[off:] = self.chunk * n_rows
+        sp[off:] = 0xFFFF if self._scat_u16 else self.chunk * n_rows
+        pk[t:] = 0
         if t < self.chunk:
             sm[t:] = 0
         is_b = np.zeros(self.chunk, bool)
@@ -844,6 +891,19 @@ class GopRecon:
                 self._cv.notify_all()
         r0, r1, packs = out[0:3], out[3:6], out[6]
         return r0, r1, packs
+
+    def mark_dispatched(self, staged, guard) -> None:
+        """Release a staged slot on behalf of an external dispatcher
+        (StreamBatchRecon runs its own jitted program over the blob).
+        ``guard``: array whose readiness implies the blob was consumed —
+        the uploaded copy on device backends, a computation output on CPU
+        (zero-copy aliasing, see DeviceRecon.__init__)."""
+        key = staged[0]
+        self._stage_busy[key] = guard
+        self._compiled.add((key[0], key[1]))
+        with self._cv:
+            self._seq_disp += 1
+            self._cv.notify_all()
 
     def _ensure_quiet(self, cap_pairs: int, cap_k: int):
         try:

@@ -148,61 +148,120 @@ class RowShardedRecon:
 class StreamBatchRecon:
     """N independent streams reconstructed data-parallel: every tensor gains
     a leading stream axis sharded across chips.  No collectives — linear
-    scaling; the serving configuration.  Uses the packed sparse coefficient
-    interface (per-stream sparse rows bucketed to a common capacity)."""
+    scaling; the serving configuration.
+
+    Transport: the same pair-packed consolidated blob as the GOP-chunk path
+    (GopRecon.prepare — pinned staging slots, sorted nonzero pairs, ~6 B
+    per coefficient; stream index takes the place of picture index).  The
+    blob is replicated and the cheap global scatter+IDCT runs on every
+    chip; the per-stream MC/reconstruction — the dominant cost — is
+    vmapped with the stream axis sharded.  The per-stream reference-list
+    update is data (is_b/is_ip selects, as in GopRecon's scan step), so
+    streams with entirely different GOP structures batch together.
+
+    The vmapped MC uses the XLA gather formulation (a Pallas kernel under
+    vmap does not batch; the stacked-plane Pallas variant is future work —
+    see PERF_NOTES.md)."""
 
     def __init__(self, geom: PictureGeometry, mesh: Mesh, axis: str = "stream",
-                 field_support: bool = False):
+                 field_support: bool = False, n_streams: int = 0):
+        from ..ops.recon import GopRecon
         self.mesh = mesh
         self.geom = geom
-        self.inner = DeviceRecon(geom, field_support=field_support)
+        self.n_streams = n_streams or mesh.shape[axis]
+        # transport shares GopRecon's staging/prepare machinery; its inner
+        # recon also serves as the vmapped per-stream reconstructor
+        self.transport = GopRecon(geom, self.n_streams,
+                                  field_support=field_support,
+                                  use_pallas_mc=False)
+        self.inner = self.transport.inner
         self._st = NamedSharding(mesh, P(axis))
-        self._fn = jax.jit(
-            jax.vmap(self._recon_one),
-            in_shardings=(self._st,) * 9,
-            out_shardings=(self._st, self._st, self._st),
-        )
+        self._rep = NamedSharding(mesh, P())
+        self._fns = {}   # (cap_pairs, cap_k) -> jitted step (pjit cannot
+        #                  mix in_shardings with static kwargs)
 
-    def _recon_one(self, cblk, cidx, meta, r0y, r0u, r0v, r1y, r1u, r1v):
-        from ..ops.recon import _unpack_meta
+    def _fn_for(self, cap_pairs: int, cap_k: int):
+        key = (cap_pairs, cap_k)
+        if key not in self._fns:
+            def f(blob, is_b, is_ip, *refs):
+                return self._step(blob, is_b, is_ip, *refs,
+                                  cap_pairs=cap_pairs, cap_k=cap_k)
+            self._fns[key] = jax.jit(
+                f,
+                in_shardings=((self._rep, self._st, self._st)
+                              + (self._st,) * 6),
+                out_shardings=(self._st,) * 9)
+        return self._fns[key]
+
+    def _step(self, blob, is_b, is_ip, r0y, r0u, r0v, r1y, r1u, r1v,
+              *, cap_pairs, cap_k):
+        from ..ops.recon import _unpack_meta2
         inner = self.inner
-        dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(meta)
-        residual = inner._residual_sparse(cblk, cidx)
-        return inner._recon_from_residual(
-            residual, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
-            r0y, r0u, r0v, r1y, r1u, r1v)
+        geom = self.geom
+        dense, meta = self.transport._decode_blob(
+            blob, cap_pairs=cap_pairs, cap_k=cap_k)
 
-    def __call__(self, tokens_list, refs0=None, refs1=None):
-        """tokens_list: one PictureTokens per stream (same geometry);
-        refs0/refs1: optional per-stream reference plane tuples, each
-        stacked (n_streams, H, W).  Returns stacked (y, u, v) planes."""
-        from ..ops.recon import _bucket, _sparse_src_map, pack_meta
+        def one(res, m, b_flag, ip_flag, r0y, r0u, r0v, r1y, r1u, r1v):
+            dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta2(
+                m, inner.field_support)
+            residual = res.reshape(geom.n_mb, geom.blocks_per_mb, 8, 8)
+            r0 = (r0y, r0u, r0v)
+            r1 = (r1y, r1u, r1v)
+            # B pictures predict from (older, newer); I/P from (newer, -)
+            ref0u = tuple(jnp.where(b_flag, a, b) for a, b in zip(r0, r1))
+            out = inner._recon_from_residual(
+                residual, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
+                *ref0u, *r1)
+            new_r0 = tuple(jnp.where(ip_flag, b, a) for a, b in zip(r0, r1))
+            new_r1 = tuple(jnp.where(ip_flag, o, b) for o, b in zip(out, r1))
+            return (*new_r0, *new_r1, *out)
+
+        return jax.vmap(one)(dense, meta, is_b, is_ip,
+                             r0y, r0u, r0v, r1y, r1u, r1v)
+
+    def _zero_refs(self):
         g = self.geom
-        n = len(tokens_list)
-        n_rows = g.n_mb * g.blocks_per_mb
-        cap = _bucket(max(t.n_coded_blocks for t in tokens_list) + 1,
-                      n_rows + 1)
-        cblk = np.zeros((n, cap, 64), np.int16)
-        cidx = np.empty((n, n_rows), np.int32)
-        meta = np.zeros((n, g.n_mb) + pack_meta(tokens_list[0]).shape[1:],
-                        np.int16)
-        for i, tok in enumerate(tokens_list):
-            k = tok.n_coded_blocks
-            cblk[i, :k] = tok.cblk[:k]
-            _sparse_src_map(tok.cblk_idx, k, n_rows, dummy=k, out=cidx[i])
-            pack_meta(tok, out=meta[i])
+        n = self.n_streams
         zero = lambda s: jnp.zeros((n,) + s, jnp.uint8)
+        return (zero(g.luma_padded), zero(g.chroma_padded),
+                zero(g.chroma_padded))
+
+    def step(self, tokens_list, is_b, is_ip, refs0=None, refs1=None):
+        """One batched decode step with per-stream picture types.
+
+        tokens_list: one PictureTokens per stream; is_b[i]: stream i's
+        picture is B (refs untouched); is_ip[i]: it becomes the newest
+        reference.  refs0/refs1: per-stream reference plane tuples, each
+        stacked (n_streams, H, W).  Returns (refs0, refs1, (y, u, v))."""
+        assert len(tokens_list) == self.n_streams
+        staged = self.transport.prepare(tokens_list,
+                                        [3 if b else 2 for b in is_b])
+        key, blob, _, _ = staged
+        cap_pairs, cap_k = key[0], key[1]
         if refs0 is None:
-            refs0 = (zero(g.luma_padded), zero(g.chroma_padded),
-                     zero(g.chroma_padded))
+            refs0 = self._zero_refs()
         if refs1 is None:
-            refs1 = (zero(g.luma_padded), zero(g.chroma_padded),
-                     zero(g.chroma_padded))
+            refs1 = self._zero_refs()
         refs0 = tuple(jax.device_put(p, self._st) for p in refs0)
         refs1 = tuple(jax.device_put(p, self._st) for p in refs1)
-        return self._fn(jax.device_put(cblk, self._st),
-                        jax.device_put(cidx, self._st),
-                        jax.device_put(meta, self._st), *refs0, *refs1)
+        isb = jnp.asarray(np.asarray(is_b, bool))
+        isip = jnp.asarray(np.asarray(is_ip, bool))
+        up = jax.device_put(blob, self._rep)
+        out = self._fn_for(cap_pairs, cap_k)(up, isb, isip, *refs0, *refs1)
+        self.transport.mark_dispatched(
+            staged, out[0] if jax.default_backend() == "cpu" else up)
+        return out[0:3], out[3:6], out[6:9]
+
+    def __call__(self, tokens_list, refs0=None, refs1=None):
+        """Single batched picture (compat API): refs0 is every stream's
+        forward reference, refs1 the backward; reference lists are not
+        advanced.  Returns stacked (y, u, v) planes."""
+        n = len(tokens_list)
+        # is_b=True routes refs0 to the forward slot; is_ip=False leaves
+        # the (discarded) reference lists untouched
+        _, _, planes = self.step(
+            tokens_list, [True] * n, [False] * n, refs0, refs1)
+        return planes
 
 
 def random_tokens(rng, geom: PictureGeometry, p_coded=0.9) -> PictureTokens:

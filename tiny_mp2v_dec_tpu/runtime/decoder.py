@@ -347,37 +347,54 @@ class MP2VDecoder:
 
     def decode_batch(self, streams: List[bytes]) -> List[List[DecodedFrame]]:
         """Decode N independent streams data-parallel, one shard per chip
-        (StreamBatchRecon) — the serving/throughput scale-out.  All streams
-        must share geometry and picture-type sequence (e.g. one content
-        class re-encoded N ways); per-stream reference lists ride a stacked
-        (N, H, W) plane axis.  Returns per-stream frame lists in display
-        order.  The multi-stream analog of the reference's picture-pipeline
-        workers (reference: threads.cpp:100-159)."""
-        from ..parallel.mesh import StreamBatchRecon, make_mesh
+        (StreamBatchRecon) — the serving/throughput scale-out.  Streams may
+        have entirely different GOP structures and lengths: per-stream
+        picture types are data (is_b/is_ip selects inside the batched
+        program), shorter streams pad with no-op pictures, and streams are
+        grouped by geometry (one batched decode per geometry group).
+        Per-stream reference lists ride a stacked (N, H, W) plane axis.
+        Returns per-stream frame lists in display order.  The multi-stream
+        analog of the reference's content-agnostic picture-pipeline workers
+        (reference: threads.cpp:100-159)."""
         assert streams, "no streams"
-        seqs = []
-        for s in streams:
-            self.reset()
-            seqs.append(self.tokenize_stream(s))
-        self.reset()
-        n_pics = {len(q) for q in seqs}
-        assert len(n_pics) == 1, f"streams differ in picture count: {n_pics}"
-        geoms = {q[0][1] for q in seqs}
-        assert len(geoms) == 1, f"streams differ in geometry: {geoms}"
-        geom = seqs[0][0][1]
-        for i in range(len(seqs[0])):
-            pcts = {q[i][2].picture_coding_type for q in seqs}
-            assert len(pcts) == 1, \
-                f"streams differ in picture type at {i}: {pcts}"
 
+        def tokenize_one(s):
+            # each stream gets its own decoder shell: header state is
+            # per-stream, and the instances share compiled recons anyway
+            shell = MP2VDecoder(self.config)
+            return shell.tokenize_stream(s)
+
+        from concurrent.futures import ThreadPoolExecutor
+        import os as _os
+        with ThreadPoolExecutor(
+                max_workers=min(len(streams), _os.cpu_count() or 2)) as ex:
+            seqs = list(ex.map(tokenize_one, streams))
+
+        out_frames: List[List[DecodedFrame]] = [[] for _ in streams]
+        by_geom: dict = {}
+        for i, q in enumerate(seqs):
+            assert q, f"stream {i} has no pictures"
+            by_geom.setdefault(q[0][1], []).append(i)
+        for geom, idxs in by_geom.items():
+            group = [seqs[i] for i in idxs]
+            frames = self._decode_batch_group(geom, group)
+            for i, fl in zip(idxs, frames):
+                out_frames[i] = fl
+        return out_frames
+
+    def _decode_batch_group(self, geom: PictureGeometry, seqs):
+        from ..parallel.mesh import StreamBatchRecon, make_mesh
+        from ..tokenizer.types import PictureTokens
         field = any(bool(t.field_pred.any()) for q in seqs for t, _, _ in q)
-        S = len(streams)
+        S = len(seqs)
         import jax
         avail = self.config.mesh_devices or len(jax.devices())
         n = max(d for d in range(1, min(S, avail) + 1) if S % d == 0)
         sb = StreamBatchRecon(geom, make_mesh(n, axes=("stream",)),
-                              field_support=field)
-        refs = [None, None]   # each: (y, u, v) stacked (S, H, W)
+                              field_support=field, n_streams=S)
+        noop = PictureTokens.empty(geom)   # all-uncoded padding picture
+        refs0 = refs1 = None
+        n_steps = max(len(q) for q in seqs)
         out_frames: List[List[DecodedFrame]] = [[] for _ in range(S)]
         reorder: List[Optional[PlanesFrame]] = [None] * S
 
@@ -386,22 +403,31 @@ class MP2VDecoder:
                 frame._fetch()
             out_frames[i].append(frame)
 
-        for idx in range(len(seqs[0])):
-            toks = [q[idx][0] for q in seqs]
-            ph = seqs[0][idx][2]
-            pct = ph.picture_coding_type
-            if pct in (H.PCT_I, H.PCT_P):
-                r0, r1 = refs[1], None
-            else:
-                r0, r1 = refs[0], refs[1]
-            y, u, v = sb(toks, refs0=r0, refs1=r1)
-            if pct in (H.PCT_I, H.PCT_P):
-                refs = [refs[1], (y, u, v)]
+        for idx in range(n_steps):
+            toks, is_b, is_ip, phs = [], [], [], []
+            for q in seqs:
+                if idx < len(q):
+                    t, _, ph = q[idx]
+                    toks.append(t)
+                    is_b.append(ph.picture_coding_type == H.PCT_B)
+                    is_ip.append(ph.picture_coding_type != H.PCT_B)
+                    phs.append(ph)
+                else:
+                    # padding: decodes to nothing, leaves the refs alone
+                    toks.append(noop)
+                    is_b.append(True)
+                    is_ip.append(False)
+                    phs.append(None)
+            refs0, refs1, (y, u, v) = sb.step(toks, is_b, is_ip,
+                                              refs0, refs1)
             for i in range(S):
-                phi = seqs[i][idx][2]
+                ph = phs[i]
+                if ph is None:
+                    continue
                 frame = PlanesFrame((y[i], u[i], v[i]), geom,
-                                    phi.temporal_reference, pct)
-                if pct in (H.PCT_I, H.PCT_P) and self.config.reordering:
+                                    ph.temporal_reference,
+                                    ph.picture_coding_type)
+                if is_ip[i] and self.config.reordering:
                     if reorder[i] is not None:
                         emit(i, reorder[i])
                     reorder[i] = frame
