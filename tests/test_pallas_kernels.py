@@ -71,6 +71,45 @@ def test_fused_mc_recon_interpret_parity(cf, w, h, mc_impl):
                                       err_msg=f"component {comp}")
 
 
+@pytest.mark.parametrize("cf,w,h", [
+    (H.CHROMA_420, 192, 112),
+    (H.CHROMA_422, 320, 128),
+    (H.CHROMA_444, 192, 96),
+])
+def test_fused_mc_field_interpret_parity(cf, w, h):
+    """Field-based prediction in the swar Pallas kernel (affine row-base
+    gathers + parity interleave) == the XLA field gather formulation —
+    field_support=True no longer drops pictures to the slow path
+    (VERDICT r3 #4; reference: src/core/mb_decoder.cpp:291-339)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(77 + cf)
+    geom = PictureGeometry(width=w, height=h, chroma_format=cf)
+    t = random_tokens(rng, geom)
+    t.dct_type[:] = rng.random(geom.n_mb) < 0.3
+    t.field_pred[:] = ~t.intra & (rng.random(geom.n_mb) < 0.5)
+    t.mvfs[:] = rng.integers(0, 2, t.mvfs.shape)
+    lh, lw = geom.luma_padded
+    ch, cw = geom.chroma_padded
+    mk = lambda s: jnp.asarray(rng.integers(0, 256, s).astype(np.uint8))
+    r0 = (mk((lh, lw)), mk((ch, cw)), mk((ch, cw)))
+    r1 = (mk((lh, lw)), mk((ch, cw)), mk((ch, cw)))
+    args = (jnp.asarray(t.dense_coeff()), jnp.asarray(t.dct_type),
+            jnp.asarray(t.fwd), jnp.asarray(t.bwd),
+            jnp.asarray(t.field_pred), jnp.asarray(t.coded),
+            jnp.asarray(t.mv), jnp.asarray(t.mvfs), *r0, *r1)
+    a = DeviceRecon(geom, field_support=True, use_pallas_mc=False,
+                    use_pallas_idct=False)._fn(*args)
+    b = DeviceRecon(geom, field_support=True, use_pallas_mc=True,
+                    use_pallas_idct=True, pallas_interpret=True,
+                    mc_impl="swar")._fn(*args)
+    assert b is not None and DeviceRecon(
+        geom, field_support=True, use_pallas_mc=True,
+        mc_impl="swar").use_pallas_mc  # field no longer disables the kernel
+    for comp, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"component {comp}")
+
+
 def _ipb_stream(rng, mb_w, mb_h, cf, **opts):
     pics = [
         random_picture(rng, mb_w, mb_h, cf, H.PCT_I, **opts),
@@ -116,3 +155,35 @@ def test_runtime_pallas_feature_stream_matches_golden():
     got = MP2VDecoder(DecoderConfig(use_pallas=True,
                                     pallas_interpret=True)).decode(data)
     _assert_frames_equal(gold, got)
+
+
+@pytest.mark.parametrize("gop_chunk", [0, 4])
+def test_runtime_pallas_field_motion_stream(gop_chunk):
+    """End-to-end field-motion stream (frame_pred_frame_dct=0, field-based
+    MBs) decoded on the Pallas path (interpret mode) bit-exact vs golden —
+    and the stats counter proves the kernel path was taken (VERDICT r3 #4:
+    field motion used to silently drop whole pictures to the XLA path)."""
+    rng = np.random.default_rng(5152)
+    data = _ipb_stream(rng, 3, 2, H.CHROMA_420, fpfd=False,
+                       allow_field_motion=True)
+    gold = decode_stream(data)
+    dec = MP2VDecoder(DecoderConfig(gop_chunk=gop_chunk, use_pallas=True,
+                                    pallas_interpret=True))
+    got = dec.decode(data)
+    _assert_frames_equal(gold, got)
+    assert dec.stats["mc_xla_pics"] == 0
+    assert (dec.stats["mc_pallas_field_pics"]
+            + dec.stats["mc_pallas_pics"]) == 5
+    assert dec.stats["mc_pallas_field_pics"] > 0
+
+
+def test_runtime_pallas_field_422_altscan_stream():
+    """Field motion + 4:2:2 + alternate_scan on the Pallas path."""
+    rng = np.random.default_rng(5153)
+    data = _ipb_stream(rng, 2, 2, H.CHROMA_422, fpfd=False,
+                       allow_field_motion=True, alternate_scan=1)
+    gold = decode_stream(data)
+    dec = MP2VDecoder(DecoderConfig(use_pallas=True, pallas_interpret=True))
+    got = dec.decode(data)
+    _assert_frames_equal(gold, got)
+    assert dec.stats["mc_xla_pics"] == 0

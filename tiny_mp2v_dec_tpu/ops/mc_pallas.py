@@ -37,24 +37,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pad_shape(H: int, W: int, h: int, w: int) -> tuple:
+def pad_shape(H: int, W: int, h: int, w: int, field: bool = False) -> tuple:
     """VMEM-resident reference plane shape for a (h, w) block kernel over an
     (H, W) plane: room for the aligned (ROWS, 256) loads at the largest
     legal window start (sy <= H-h, sx <= W-w), zero-filled beyond (H, W)
     (the zero pad is what the +1 half-pel taps read at the picture edge,
-    matching golden/mc.pad_for_mc)."""
-    rows = _load_rows(h)
-    max_sy0 = ((H - h) >> 3) << 3
+    matching golden/mc.pad_for_mc).  ``field=True`` sizes for the
+    field-prediction gathers too (vertical taps at +2 and a row base up to
+    H-h+1 need a taller load)."""
+    rows = _load_rows(h, 2 if field else 1)
+    max_sy0 = (((H - h + 1) if field else (H - h)) >> 3) << 3
     hp = -(-(max_sy0 + rows) // 32) * 32
     max_sx0 = ((W - w) >> 7) << 7
     wp = max_sx0 + 256
     return max(hp, 32), max(wp, 256)
 
 
-def _load_rows(h: int) -> int:
-    """Aligned window load height: h+1 taps + up to 7 rows of misalignment,
-    rounded to a power of two (dynamic rotate requirement)."""
-    return 32 if h == 16 else 16
+def _load_rows(h: int, vstep: int = 1) -> int:
+    """Aligned window load height: h + vstep tap rows + up to 7 rows of
+    misalignment, rounded to a power of two (dynamic rotate
+    requirement)."""
+    return 16 if h + vstep + 7 <= 16 else 32
 
 
 def _gather_pred(ref, sy, sx, ph, h, w):
@@ -156,10 +159,10 @@ def fused_mc_recon(ref0_pad, ref1_pad, res_plane, syf, sxf, phf, syb, sxb,
     )(syf, sxf, phf, syb, sxb, phb, mode, ref0_pad, ref1_pad, res_plane)
 
 
-def pad_ref_plane(plane, h: int, w: int):
+def pad_ref_plane(plane, h: int, w: int, field: bool = False):
     """Embed an (H, W) uint8 plane into the kernel's zero-padded layout."""
     H, W = plane.shape
-    hp, wp = pad_shape(H, W, h, w)
+    hp, wp = pad_shape(H, W, h, w, field)
     return jnp.zeros((hp, wp), jnp.uint8).at[:H, :W].set(plane)
 
 
@@ -199,11 +202,17 @@ def unpack_words(words):
     return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(H, Ww * 4)
 
 
-def _gather_pred_swar(refw, sy, sx, ph, h, w):
+def _gather_pred_swar(refw, sy, sx, ph, h, w, vstep: int = 1):
     """One unidirectional half-pel prediction, packed: (h, w//2) uint32
-    (caller keeps [:, :w//4]).  refw: word-packed reference plane."""
-    rows = _load_rows(h)
-    sy0 = pl.multiple_of((sy >> 3) << 3, 8)
+    (caller keeps [:, :w//4]).  refw: word-packed reference plane.
+
+    ``vstep`` is the vertical tap distance: 1 for frame prediction, 2 for
+    field prediction expressed in frame coordinates (the next field row is
+    two frame rows down).  For field use ``sy`` may be -1 (bottom-parity
+    unit whose affine base starts one row above the plane); the rows it
+    would fetch there are parity-masked away by the caller."""
+    rows = _load_rows(h, vstep)
+    sy0 = pl.multiple_of((jnp.maximum(sy, 0) >> 3) << 3, 8)
     ry = sy - sy0
     sx0 = pl.multiple_of((sx >> 7) << 7, 128)
     rx = sx - sx0
@@ -219,11 +228,11 @@ def _gather_pred_swar(refw, sy, sx, ph, h, w):
     a = jnp.where(s == jnp.uint32(0), win,
                   (win >> s) | (nxt << ((jnp.uint32(32) - s) & jnp.uint32(31))))
     aw = max(2 * w // 4, 2)
-    a = a[:h + 1, :aw]
+    a = a[:h + vstep, :aw]
     # +1-pixel taps: funnel shift by one byte / one row
     b = (a >> jnp.uint32(8)) | (pltpu.roll(a, aw - 1, axis=1) << jnp.uint32(24))
-    c = a[1:, :]
-    d = b[1:, :]
+    c = a[vstep:, :]
+    d = b[vstep:, :]
     a_, b_ = a[:h], b[:h]
     ab = _avg_up(a_, b_)
     ac = _avg_up(a_, c)
@@ -233,11 +242,29 @@ def _gather_pred_swar(refw, sy, sx, ph, h, w):
     return jnp.where(hx & hy, abcd, jnp.where(hx, ab, jnp.where(hy, ac, a_)))
 
 
+def _field_pred_swar(refw, c0, x0, p0, c1, x1, p1, h, w):
+    """Field-based prediction of one whole (h, w) frame-coordinate tile.
+
+    Each 8x(16|8) prediction unit r reads field rows, which in frame
+    coordinates is the affine map  src_row(j) = j + C_r  with
+    C_r = 2*syf_r + sel_r - r  (syf_r: clamped field-coords window start,
+    sel_r: motion_vertical_field_select) — so a unit is one rolled-window
+    gather with vertical taps at +2, and the two units interleave with a
+    row-parity select.  Matches golden/mc.py field semantics bit-exactly
+    (reference: src/core/mb_decoder.cpp:291-339)."""
+    u0 = _gather_pred_swar(refw, c0, x0, p0, h, w, vstep=2)
+    u1 = _gather_pred_swar(refw, c1, x1, p1, h, w, vstep=2)
+    par = jax.lax.broadcasted_iota(jnp.int32, u0.shape, 0) & 1
+    return jnp.where(par == 0, u0, u1)
+
+
 def _make_kernel_swar(h: int, w: int, mbw: int, rows_per_step: int,
-                      bidir: bool):
+                      bidir: bool, field: bool = False):
     wpmb = w // 4
-    def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
-               mode_ref, ref0, ref1, out_ref):
+
+    def body(scalars, ref0, ref1, out_ref):
+        (syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+         mode_ref, fld) = scalars
         r = pl.program_id(0)
         for j in range(rows_per_step):
             for mb in range(mbw):
@@ -245,10 +272,22 @@ def _make_kernel_swar(h: int, w: int, mbw: int, rows_per_step: int,
                 m = mode_ref[i]
                 pf = _gather_pred_swar(ref0, syf_ref[i], sxf_ref[i],
                                        phf_ref[i], h, w)[:, :wpmb]
+                if field:
+                    cf0, xf0, pf0, cf1, xf1, pf1 = fld[0]
+                    ff = _field_pred_swar(ref0, cf0[i], xf0[i], pf0[i],
+                                          cf1[i], xf1[i], pf1[i],
+                                          h, w)[:, :wpmb]
+                    pf = jnp.where((m & 8) != 0, ff, pf)
                 f = (m & 1) != 0
                 if bidir:
                     pb = _gather_pred_swar(ref1, syb_ref[i], sxb_ref[i],
                                            phb_ref[i], h, w)[:, :wpmb]
+                    if field:
+                        cb0, xb0, pb0, cb1, xb1, pb1 = fld[1]
+                        fb = _field_pred_swar(ref1, cb0[i], xb0[i], pb0[i],
+                                              cb1[i], xb1[i], pb1[i],
+                                              h, w)[:, :wpmb]
+                        pb = jnp.where((m & 8) != 0, fb, pb)
                     bk = (m & 2) != 0
                     both = _avg_up(pf, pb)
                     pred = jnp.where(
@@ -258,6 +297,22 @@ def _make_kernel_swar(h: int, w: int, mbw: int, rows_per_step: int,
                     pred = jnp.where(f, pf, jnp.uint32(0))
                 out_ref[j * h:(j + 1) * h,
                         mb * wpmb:(mb + 1) * wpmb] = pred
+
+    if not field:
+        def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+                   mode_ref, ref0, ref1, out_ref):
+            body((syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+                  mode_ref, None), ref0, ref1, out_ref)
+    else:
+        def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+                   mode_ref,
+                   cf0, xf0, pf0, cf1, xf1, pf1,
+                   cb0, xb0, pb0, cb1, xb1, pb1,
+                   ref0, ref1, out_ref):
+            body((syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+                  mode_ref,
+                  ((cf0, xf0, pf0, cf1, xf1, pf1),
+                   (cb0, xb0, pb0, cb1, xb1, pb1))), ref0, ref1, out_ref)
     return kernel
 
 
@@ -295,6 +350,65 @@ def fused_mc_pred_swar(ref0w, ref1w, syf, sxf, phf, syb, sxb, phb, mode,
         out_shape=jax.ShapeDtypeStruct((H, W // 4), jnp.uint32),
         interpret=interpret,
     )(syf, sxf, phf, syb, sxb, phb, mode, ref0w, ref1w)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "H", "W", "interpret",
+                                    "bidir"))
+def fused_mc_pred_swar_field(ref0w, ref1w, syf, sxf, phf, syb, sxb, phb,
+                             mode, fld_f, fld_b, *, h: int, w: int, H: int,
+                             W: int, interpret: bool = False,
+                             bidir: bool = True):
+    """Field-capable variant of :func:`fused_mc_pred_swar` (compiled only
+    for field_support chunks — every MB additionally evaluates the
+    field-based prediction and mode bit 8 selects it).
+
+    fld_f/fld_b: per-direction 6-tuples of (n,) int32 vectors
+    (C0, sx0, ph0, C1, sx1, ph1) from :func:`mc_field_meta`."""
+    mbw = W // w
+    band = 16 if (16 % h == 0 and H % 16 == 0) else h
+    rows_per_step = band // h
+    grid = H // band
+    kernel = _make_kernel_swar(h, w, mbw, rows_per_step, bidir, field=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=19,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(ref0w.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ref1w.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, W // 4), lambda r, *_: (r, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W // 4), jnp.uint32),
+        interpret=interpret,
+    )(syf, sxf, phf, syb, sxb, phb, mode, *fld_f, *fld_b, ref0w, ref1w)
+
+
+def mc_field_meta(pos_y, pos_x, mvc_dir, mvfs_dir, H: int, W: int,
+                  h: int, w: int):
+    """Per-MB field-prediction scalars for one direction.
+
+    mvc_dir: (n, 2:unit, 2:xy) component-scaled half-pel MVs;
+    mvfs_dir: (n, 2:unit) motion_vertical_field_select.  Returns the
+    6-tuple (C0, sx0, ph0, C1, sx1, ph1): C_r = 2*syf_r + sel_r - r is
+    the affine row base (clamping identical to ops/mc.mc_field_tiles:
+    field window start in [0, H/2 - h/2] x [0, W - w])."""
+    out = []
+    for r in range(2):
+        mvx = mvc_dir[:, r, 0].astype(jnp.int32)
+        mvy = mvc_dir[:, r, 1].astype(jnp.int32)
+        syf = jnp.clip((pos_y >> 1) + (mvy >> 1), 0, H // 2 - h // 2)
+        sx = jnp.clip(pos_x + (mvx >> 1), 0, W - w)
+        ph = ((mvx & 1) + 2 * (mvy & 1)).astype(jnp.int32)
+        c = 2 * syf + mvfs_dir[:, r].astype(jnp.int32) - r
+        out += [c.astype(jnp.int32), sx.astype(jnp.int32), ph]
+    return tuple(out)
 
 
 def mc_meta(pos_y, pos_x, mvx, mvy, H: int, W: int, h: int, w: int):

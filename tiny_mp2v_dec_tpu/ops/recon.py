@@ -20,7 +20,8 @@ from ..headers import CHROMA_420
 from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureTokens
 from .idct import idct_blocks_jnp, idct_blocks_pallas
 from .mc import (mc_bidir_tiles, mc_field_tiles, mc_unidir_tiles, pad_for_mc)
-from .mc_pallas import (fused_mc_pred_swar, fused_mc_recon, mc_meta,
+from .mc_pallas import (fused_mc_pred_swar, fused_mc_pred_swar_field,
+                        fused_mc_recon, mc_field_meta, mc_meta,
                         pack_ref_words, pad_ref_plane, unpack_words)
 
 
@@ -216,16 +217,19 @@ class DeviceRecon:
         if use_pallas_idct is None:
             use_pallas_idct = on_tpu
         self.use_pallas_idct = use_pallas_idct
-        # The fused Pallas MC kernel covers frame-based prediction; pictures
-        # with field-based MBs take the XLA gather path (rare: only streams
-        # with frame_pred_frame_dct=0 field-motion macroblocks).
-        if use_pallas_mc is None:
-            use_pallas_mc = on_tpu
-        self.use_pallas_mc = use_pallas_mc and not field_support
         # "roll": int32 windows rotated in-register; "swar": 4 px per
         # 32-bit lane with per-byte rounding (4x fewer vregs per gather —
         # measured faster on v5e, see PERF_NOTES.md r4).
         self.mc_impl = mc_impl if mc_impl is not None else _DEFAULT_MC_IMPL
+        # The swar kernel also covers field-based prediction (affine
+        # row-base gathers, mc_pallas._field_pred_swar); the roll kernel
+        # covers frame prediction only, so with it field-support pictures
+        # take the XLA gather path (reference decodes field motion at full
+        # kernel speed too, mb_decoder.cpp:291-339).
+        if use_pallas_mc is None:
+            use_pallas_mc = on_tpu
+        self.use_pallas_mc = use_pallas_mc and (
+            not field_support or self.mc_impl == "swar")
         self.pallas_interpret = pallas_interpret
 
         xs, ys, n_cb = CHROMA_INFO[geom.chroma_format]
@@ -352,7 +356,8 @@ class DeviceRecon:
         # --- prediction ---
         refs = {0: (r0y, r1y), 1: (r0u, r1u), 2: (r0v, r1v)}
         if self.use_pallas_mc:
-            return self._planes_pallas(res, refs, fwd, bwd, coded, mv, bidir)
+            return self._planes_pallas(res, refs, fwd, bwd, coded, mv,
+                                       field_pred, mvfs, bidir)
         planes = []
         for comp in range(3):
             p0, p1 = refs[comp]
@@ -376,18 +381,22 @@ class DeviceRecon:
         return tuple(planes)
 
     def _planes_pallas(self, res, refs, fwd, bwd, coded, mv,
-                       bidir: bool = True):
+                       field_pred=None, mvfs=None, bidir: bool = True):
         """Fused-kernel reconstruction: per component, assemble the int16
         residual in plane layout, then one Pallas call does MC (fwd+bwd
-        window gathers, half-pel phase select, bidir average), residual add,
-        saturation and uncoded masking in a single pass (ops/mc_pallas.py)."""
+        window gathers, half-pel phase select, field-based prediction when
+        the chunk needs it, bidir average), with residual add, saturation
+        and uncoded masking fused in XLA (ops/mc_pallas.py)."""
         geom = self.geom
         cf = geom.chroma_format
         xs, ys, _ = CHROMA_INFO[cf]
         swar = self.mc_impl == "swar"
+        field = self.field_support and swar
         mode = fwd.astype(jnp.int32) + 2 * bwd.astype(jnp.int32)
         if not swar:
             mode = mode + 4 * coded.astype(jnp.int32)
+        if field:
+            mode = mode + 8 * field_pred.astype(jnp.int32)
         mbh, mbw = geom.mb_height, geom.mb_width
         planes = []
         for comp in range(3):
@@ -409,12 +418,22 @@ class DeviceRecon:
                     coded.reshape(mbh, mbw)[:, None, :, None],
                     (mbh, h, mbw, w)).reshape(H, W)
                 res2 = jnp.where(coded_px, res_plane, jnp.int16(-256))
-                predw = fused_mc_pred_swar(
-                    pack_ref_words(pad_ref_plane(p0, h, w)),
-                    pack_ref_words(pad_ref_plane(p1, h, w)),
-                    syf, sxf, phf, syb, sxb, phb, mode,
-                    h=h, w=w, H=H, W=W, interpret=self.pallas_interpret,
-                    bidir=bidir)
+                r0w = pack_ref_words(pad_ref_plane(p0, h, w, field))
+                r1w = pack_ref_words(pad_ref_plane(p1, h, w, field))
+                if field:
+                    fld_f = mc_field_meta(pos_y, pos_x, mvc[:, :, 0],
+                                          mvfs[:, :, 0], H, W, h, w)
+                    fld_b = mc_field_meta(pos_y, pos_x, mvc[:, :, 1],
+                                          mvfs[:, :, 1], H, W, h, w)
+                    predw = fused_mc_pred_swar_field(
+                        r0w, r1w, syf, sxf, phf, syb, sxb, phb, mode,
+                        fld_f, fld_b, h=h, w=w, H=H, W=W,
+                        interpret=self.pallas_interpret, bidir=bidir)
+                else:
+                    predw = fused_mc_pred_swar(
+                        r0w, r1w, syf, sxf, phf, syb, sxb, phb, mode,
+                        h=h, w=w, H=H, W=W,
+                        interpret=self.pallas_interpret, bidir=bidir)
                 pred = unpack_words(predw).astype(jnp.int16)
                 planes.append(
                     jnp.clip(pred + res2, 0, 255).astype(jnp.uint8))

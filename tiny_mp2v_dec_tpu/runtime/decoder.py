@@ -195,9 +195,21 @@ class MP2VDecoder:
         self._chunk: List[tuple] = []  # (tokens, geom, ph) awaiting batch
         self._frames: List[DecodedFrame] = []
         self.stats = {"pictures": 0, "tokenize_s": 0.0, "fill_s": 0.0,
-                      "device_s": 0.0, "output_s": 0.0}
+                      "device_s": 0.0, "output_s": 0.0,
+                      # which MC path pictures took (the field fallback was
+                      # a silent data-dependent perf cliff before r4)
+                      "mc_pallas_pics": 0, "mc_pallas_field_pics": 0,
+                      "mc_xla_pics": 0}
 
     # ------------------------------------------------------------------
+    def _count_mc(self, inner, n: int) -> None:
+        if inner.use_pallas_mc:
+            key = ("mc_pallas_field_pics" if inner.field_support
+                   else "mc_pallas_pics")
+        else:
+            key = "mc_xla_pics"
+        self.stats[key] += n
+
     def _pallas_opts(self):
         c = self.config
         return dict(use_pallas_idct=c.use_pallas, use_pallas_mc=c.use_pallas,
@@ -498,6 +510,7 @@ class MP2VDecoder:
         r0, r1, packs = recon.dispatch(staged, self._refs[0], self._refs[1])
         self._refs = [r0, r1]
         self.stats["device_s"] += time.perf_counter() - t0
+        self._count_mc(recon.inner, len(batch))
 
         if self.config.output_host:
             try:
@@ -567,6 +580,7 @@ class MP2VDecoder:
 
         field_support = bool(tokens.field_pred.any())
         recon = self._recon_for(geom, field_support)
+        self._count_mc(recon, 1)
         if ph.picture_coding_type in (H.PCT_I, H.PCT_P):
             ref0, ref1 = self._refs[1], None
         else:
