@@ -196,6 +196,28 @@ def pack_ref_words(padded):
         padded.reshape(H, W // 4, 4), jnp.uint32)
 
 
+def swar_pad_shape(H: int, W: int, h: int, w: int,
+                   field: bool = False) -> tuple:
+    """Padded (unpacked) plane shape for the SWAR kernel: its lane loads
+    start at 512-pixel granules (128 packed words — Mosaic requires
+    128-lane-aligned vector loads) and span 1024 px."""
+    rows = _load_rows(h, 2 if field else 1)
+    max_sy0 = (((H - h + 1) if field else (H - h)) >> 3) << 3
+    hp = -(-(max_sy0 + rows) // 32) * 32
+    max_sx0 = ((W - w) >> 9) << 9
+    wp = max_sx0 + 1024
+    return max(hp, 32), max(wp, 1024)
+
+
+def pad_ref_words(plane, h: int, w: int, field: bool = False):
+    """Embed an (H, W) uint8 plane into the SWAR kernel's zero-padded
+    layout and word-pack it."""
+    H, W = plane.shape
+    hp, wp = swar_pad_shape(H, W, h, w, field)
+    return pack_ref_words(
+        jnp.zeros((hp, wp), jnp.uint8).at[:H, :W].set(plane))
+
+
 def unpack_words(words):
     """(H, W//4) uint32 -> (H, W) uint8 (inverse of pack_ref_words)."""
     H, Ww = words.shape
@@ -210,24 +232,30 @@ def _gather_pred_swar(refw, sy, sx, ph, h, w, vstep: int = 1):
     field prediction expressed in frame coordinates (the next field row is
     two frame rows down).  For field use ``sy`` may be -1 (bottom-parity
     unit whose affine base starts one row above the plane); the rows it
-    would fetch there are parity-masked away by the caller."""
+    would fetch there are parity-masked away by the caller.
+
+    Lane loads must start at 128-lane multiples (Mosaic), i.e. 512-pixel
+    granules of the word-packed plane; the (rows, 256)-word load always
+    covers the needed words (residual word offset <= 127, +6 words used,
+    wrap at 256 never reached)."""
     rows = _load_rows(h, vstep)
     sy0 = pl.multiple_of((jnp.maximum(sy, 0) >> 3) << 3, 8)
     ry = sy - sy0
-    sx0 = pl.multiple_of((sx >> 7) << 7, 128)
+    sx0 = (sx >> 9) << 9
     rx = sx - sx0
-    wx0 = pl.multiple_of(sx0 >> 2, 32)
-    win = refw[pl.ds(sy0, rows), pl.ds(wx0, 64)]
-    # whole-word part of the misalignment: lane roll on 2 vregs
-    win = pltpu.roll(win, -(rx >> 2), axis=1)
+    wx0 = pl.multiple_of(sx0 >> 2, 128)
+    win = refw[pl.ds(sy0, rows), pl.ds(wx0, 256)]
+    # whole-word part of the misalignment: lane roll, then narrow to 16
+    # words (64 px) before the cheap sublane roll / byte stitch
+    win = pltpu.roll(win, -(rx >> 2), axis=1)[:, :16]
     win = pltpu.roll(win, -ry, axis=0)
     # sub-word part: funnel-shift each word with its right neighbour so
     # pixel sx lands at byte 0 of word 0 (s == 0 guarded: <<32 is UB)
     s = ((rx & 3) << 3).astype(jnp.uint32)
-    nxt = pltpu.roll(win, 63, axis=1)   # static roll by -1 (n-1 ≡ -1 mod n)
+    nxt = pltpu.roll(win, 15, axis=1)   # static roll by -1 (n-1 ≡ -1 mod n)
     a = jnp.where(s == jnp.uint32(0), win,
                   (win >> s) | (nxt << ((jnp.uint32(32) - s) & jnp.uint32(31))))
-    aw = max(2 * w // 4, 2)
+    aw = 8
     a = a[:h + vstep, :aw]
     # +1-pixel taps: funnel shift by one byte / one row
     b = (a >> jnp.uint32(8)) | (pltpu.roll(a, aw - 1, axis=1) << jnp.uint32(24))

@@ -22,7 +22,7 @@ from .idct import idct_blocks_jnp, idct_blocks_pallas
 from .mc import (mc_bidir_tiles, mc_field_tiles, mc_unidir_tiles, pad_for_mc)
 from .mc_pallas import (fused_mc_pred_swar, fused_mc_pred_swar_field,
                         fused_mc_recon, mc_field_meta, mc_meta,
-                        pack_ref_words, pad_ref_plane, unpack_words)
+                        pad_ref_plane, pad_ref_words, unpack_words)
 
 
 def _tiles_from_blocks(blocks, rows, cols, interleave_mask):
@@ -418,8 +418,8 @@ class DeviceRecon:
                     coded.reshape(mbh, mbw)[:, None, :, None],
                     (mbh, h, mbw, w)).reshape(H, W)
                 res2 = jnp.where(coded_px, res_plane, jnp.int16(-256))
-                r0w = pack_ref_words(pad_ref_plane(p0, h, w, field))
-                r1w = pack_ref_words(pad_ref_plane(p1, h, w, field))
+                r0w = pad_ref_words(p0, h, w, field)
+                r1w = pad_ref_words(p1, h, w, field)
                 if field:
                     fld_f = mc_field_meta(pos_y, pos_x, mvc[:, :, 0],
                                           mvfs[:, :, 0], H, W, h, w)

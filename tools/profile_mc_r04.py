@@ -22,8 +22,8 @@ def main():
     from tbench import chain_time
     from tiny_mp2v_dec_tpu.headers import CHROMA_420
     from tiny_mp2v_dec_tpu.ops.mc_pallas import (
-        fused_mc_pred_swar, fused_mc_recon, mc_meta, pack_ref_words,
-        pad_ref_plane, unpack_words)
+        fused_mc_pred_swar, fused_mc_recon, mc_meta, pad_ref_plane,
+        pad_ref_words, unpack_words)
     from tiny_mp2v_dec_tpu.tokenizer.types import PictureGeometry
 
     print("backend:", jax.default_backend(), flush=True)
@@ -48,8 +48,8 @@ def main():
 
     p0 = jax.jit(lambda p: pad_ref_plane(p, 16, 16))(plane0)
     p1 = jax.jit(lambda p: pad_ref_plane(p, 16, 16))(plane1)
-    w0 = jax.jit(pack_ref_words)(p0)
-    w1 = jax.jit(pack_ref_words)(p1)
+    w0 = jax.jit(lambda p: pad_ref_words(p, 16, 16))(plane0)
+    w1 = jax.jit(lambda p: pad_ref_words(p, 16, 16))(plane1)
     jax.block_until_ready((p0, p1, w0, w1))
 
     def roll_op(a, b, r, sy, sx, ph, m, salt, bidir):
@@ -102,7 +102,7 @@ def main():
     csy, csx, cph = mc_meta(cpy, cpx, mvf[:, 0] >> 1, mvf[:, 1] >> 1,
                             ch, cw, 8, 8)
     pc = jax.jit(lambda p: pad_ref_plane(p, 8, 8))(c0)
-    wc = jax.jit(pack_ref_words)(pc)
+    wc = jax.jit(lambda p: pad_ref_words(p, 8, 8))(c0)
     jax.block_until_ready((pc, wc))
 
     def roll_c(a, r, sy, sx, ph, m, salt):
