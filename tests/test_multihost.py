@@ -141,3 +141,65 @@ def test_split_no_cut_while_quant_matrix_extension_live():
     assert chunks[0].n_pictures == 8
     # with the fresh sequence header the cut is legal again
     assert len(split_gops(data)) == 2
+
+
+# ----------------------------------------------------------------------
+# Real jax.distributed backend (parallel/distributed.py): two coordinated
+# CPU processes, GOP assignment by process rank, host-local frames,
+# deterministic display-order merge (VERDICT r3 #10; SURVEY §5.8 mapping
+# of threads.cpp:100-159).
+
+def _jaxdist_worker(rank, world, port, data, q):
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=2")
+    try:
+        from tiny_mp2v_dec_tpu.parallel.distributed import (
+            DistributedDecoder, host_chip_mesh, init_distributed)
+        init_distributed(f"127.0.0.1:{port}", world, rank)
+        import jax
+        mesh = host_chip_mesh()
+        dd = DistributedDecoder()
+        res = dd.decode(data)
+        q.put((rank, jax.process_count(), tuple(mesh.shape.values()), res))
+    except Exception as e:  # surface the failure in the parent
+        q.put((rank, "error", repr(e), None))
+
+
+def test_jax_distributed_two_process_decode():
+    import multiprocessing as mp
+    import socket
+    data = _multi_gop_stream(4, seed0=90, n_pics=4)
+    exp = [f.tobytes() for f in MP2VDecoder(DecoderConfig()).decode(data)]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_jaxdist_worker, args=(r, 2, port, data, q))
+             for r in range(2)]
+    for p in procs:
+        p.start()
+    results = []
+    try:
+        for _ in range(2):
+            results.append(q.get(timeout=240))
+    finally:
+        for p in procs:
+            p.join(timeout=60)
+            if p.is_alive():
+                p.terminate()
+    errs = [r for r in results if r[1] == "error"]
+    assert not errs, f"worker failures: {errs}"
+    # every process saw the full world and the ('host','chip') mesh
+    for rank, world, mesh_shape, _ in results:
+        assert world == 2
+        assert mesh_shape[0] == 2     # host axis = process count
+    # rank-disjoint chunk assignment covering all 4 GOPs
+    from tiny_mp2v_dec_tpu.parallel.distributed import merge_display_order
+    per_host = [r[3] for r in results]
+    idxs = sorted(i for host in per_host for i, _ in host)
+    assert idxs == [0, 1, 2, 3]
+    got = merge_display_order(per_host)
+    assert got == exp

@@ -182,9 +182,14 @@ def _load_packers():
 
 
 # Default fused-MC kernel implementation (see DeviceRecon.mc_impl);
-# overridable for experiments via MP2V_MC_IMPL.
+# overridable for experiments via MP2V_MC_IMPL.  Measured on v5e
+# (PROFILE_mc_r04.json): the roll kernel wins at 1080p luma bidir
+# (2.08 ms vs 6.61 ms) — Mosaic lowers the swar variant's funnel shifts /
+# packed-word stores poorly — so "roll" is the production default;
+# field-support chunks still use the swar kernel (the roll kernel has no
+# field path and the XLA fallback is slower still).
 import os as _os
-_DEFAULT_MC_IMPL = _os.environ.get("MP2V_MC_IMPL", "swar")
+_DEFAULT_MC_IMPL = _os.environ.get("MP2V_MC_IMPL", "roll")
 
 
 def _sparse_src_map(cblk_idx, k, n_rows, dummy, out=None):
@@ -217,10 +222,15 @@ class DeviceRecon:
         if use_pallas_idct is None:
             use_pallas_idct = on_tpu
         self.use_pallas_idct = use_pallas_idct
-        # "roll": int32 windows rotated in-register; "swar": 4 px per
-        # 32-bit lane with per-byte rounding (4x fewer vregs per gather —
-        # measured faster on v5e, see PERF_NOTES.md r4).
-        self.mc_impl = mc_impl if mc_impl is not None else _DEFAULT_MC_IMPL
+        # "roll": int32 windows rotated in-register (production default —
+        # faster under Mosaic's lowering, PROFILE_mc_r04.json); "swar":
+        # 4 px per 32-bit lane with per-byte rounding — the only kernel
+        # with a field-prediction path, so field-support recons default
+        # to it rather than falling off the kernel entirely.
+        impl = mc_impl if mc_impl is not None else _DEFAULT_MC_IMPL
+        if field_support and mc_impl is None:
+            impl = "swar"
+        self.mc_impl = impl
         # The swar kernel also covers field-based prediction (affine
         # row-base gathers, mc_pallas._field_pred_swar); the roll kernel
         # covers frame prediction only, so with it field-support pictures
