@@ -155,10 +155,14 @@ def _jaxdist_worker(rank, world, port, data, q):
     os.environ.setdefault("XLA_FLAGS",
                           "--xla_force_host_platform_device_count=2")
     try:
+        import jax
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var — force
+        # via config BEFORE the distributed client initializes (conftest
+        # does the same for in-process tests)
+        jax.config.update("jax_platforms", "cpu")
         from tiny_mp2v_dec_tpu.parallel.distributed import (
             DistributedDecoder, host_chip_mesh, init_distributed)
         init_distributed(f"127.0.0.1:{port}", world, rank)
-        import jax
         mesh = host_chip_mesh()
         dd = DistributedDecoder()
         res = dd.decode(data)
