@@ -29,8 +29,10 @@ from bench_stream import make_bench_stream  # noqa: E402
 
 N_PICTURES = 64
 WARMUP = 2
-REPEATS = 6   # tunneled-device throughput swings 2-6x between windows;
-              # best-of over more reps measures the machine, not the tunnel
+REPEATS = 10  # tunneled-device throughput swings 4-7x between windows
+              # (PROFILE_r04.json rep spread: 0.81-3.59 s in ONE run);
+              # best-of over more reps measures the machine, not the
+              # tunnel — the spread is recorded in the profile artifact
 
 
 def baseline_fps() -> float:
@@ -114,6 +116,33 @@ def main() -> int:
           f"device {stats['device_s']/pics*1e3:.2f} ms",
           file=sys.stderr)
 
+    # chip capacity: TWO concurrent streams on the one chip (they share
+    # the process-wide compiled recons; the per-instance staging locks
+    # interleave their chunks, keeping the device busy while the other
+    # stream's host stages run).  Headline stays single-stream to match
+    # how BASELINE_MEASURED.json was taken; this line documents serving
+    # throughput per chip.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    dec2 = [MP2VDecoder(DecoderConfig(gop_chunk=16, output_host=False))
+            for _ in range(2)]
+
+    def run_one(d):
+        d.reset()
+        fr = d.decode(data)
+        jax.block_until_ready([f.device_buffer() for f in fr])
+        return len(fr)
+
+    with _TPE(max_workers=2) as ex:
+        list(ex.map(run_one, dec2))          # warm
+        best2 = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            n2 = sum(ex.map(run_one, dec2))
+            best2 = min(best2, time.perf_counter() - t0)
+    agg_fps = n2 / best2
+    print(f"# chip-capacity: {agg_fps:.2f} frames/s (2 concurrent streams)",
+          file=sys.stderr)
+
     # per-picture latency, gop_chunk=0 (the reference's stated goal is
     # ultra low latency, README.md:5): every frame is dispatched and
     # waited for individually
@@ -150,6 +179,21 @@ def main() -> int:
 
     base = baseline_fps()
     vs = fps / base if base > 0 else 0.0
+    # the kernel perf gate must have a committed on-chip artifact
+    # (reference analog: simd_test's SIMD>scalar requirement); flag its
+    # absence loudly rather than reporting as if verified
+    gate_path = os.path.join(_HERE, "PERF_GATE.json")
+    gate = None
+    if os.path.exists(gate_path):
+        with open(gate_path) as f:
+            gate = json.load(f)
+    if gate is None:
+        print("# WARNING: PERF_GATE.json missing — kernel perf gate has "
+              "not been run on this chip (tools/perf_gate.py)",
+              file=sys.stderr)
+    elif not gate.get("pass", False):
+        print(f"# WARNING: kernel perf gate FAILING: {gate}",
+              file=sys.stderr)
     # driver-conditions stage breakdown for the record (VERDICT r3 #1)
     with open(os.path.join(_HERE, "PROFILE_r04.json"), "w") as f:
         json.dump({
@@ -166,6 +210,8 @@ def main() -> int:
                           "mc_xla_pics")},
             "latency_ms_per_frame_chunk0": round(lat_ms, 2),
             "host_delivery_fps": round(host_fps, 2),
+            "chip_capacity_fps_2streams": round(agg_fps, 2),
+            "perf_gate": gate,
         }, f, indent=2)
         f.write("\n")
     print(json.dumps({

@@ -167,6 +167,129 @@ def pad_ref_plane(plane, h: int, w: int, field: bool = False):
 
 
 # ----------------------------------------------------------------------
+# Fused U+V chroma kernel: both chroma planes column-interleaved
+# (u0 v0 u1 v1 ...).  U and V share the exact same motion vector, window
+# start and half-pel phase per macroblock, so ONE window load + roll pair
+# serves both planes; the +1-chroma-pixel taps become +2 interleaved
+# columns (static slices).  Halves the chroma gather cost — per-MB window
+# handling, not arithmetic, dominates this kernel (PROFILE_mc_r04.json:
+# one chroma plane cost ~96% of luma despite 1/4 the pixels).
+
+
+def interleave_uv(u, v):
+    """(H, W) + (H, W) -> (H, 2W) column-interleaved uint8/int16."""
+    H, W = u.shape
+    return jnp.stack([u, v], axis=-1).reshape(H, 2 * W)
+
+
+def _gather_pred_uv(ref, sy, sx, ph, h, w):
+    """One unidirectional half-pel prediction on an interleaved UV plane:
+    (h, 2w) int32 block (columns still interleaved).  ``sx`` is in
+    interleaved coordinates (2 * chroma sx, always even)."""
+    rows = _load_rows(h)
+    sy0 = pl.multiple_of((sy >> 3) << 3, 8)
+    ry = sy - sy0
+    sx0 = pl.multiple_of((sx >> 7) << 7, 128)
+    rx = sx - sx0
+    win = ref[pl.ds(sy0, rows), pl.ds(sx0, 256)].astype(jnp.int32)
+    win = pltpu.roll(win, -rx, axis=1)[:, :128]
+    win = pltpu.roll(win, -ry, axis=0)[:h + 1, :2 * w + 2]
+    a = win[:h, :2 * w]
+    b = win[:h, 2:2 * w + 2]       # +1 chroma px = +2 interleaved cols
+    c = win[1:h + 1, :2 * w]
+    d = win[1:h + 1, 2:2 * w + 2]
+    ab = (a + b + 1) >> 1
+    ac = (a + c + 1) >> 1
+    abcd = (ab + ((c + d + 1) >> 1) + 1) >> 1
+    hx = (ph & 1) != 0
+    hy = (ph & 2) != 0
+    return jnp.where(hx & hy, abcd, jnp.where(hx, ab, jnp.where(hy, ac, a)))
+
+
+def _make_kernel_uv(h: int, w: int, mbw: int, rows_per_step: int,
+                    bidir: bool):
+    tw = 2 * w                      # interleaved tile width per MB
+    def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+               mode_ref, ref0, ref1, res_ref, out_ref):
+        r = pl.program_id(0)
+        for j in range(rows_per_step):
+            for mb in range(mbw):
+                i = (r * rows_per_step + j) * mbw + mb
+                m = mode_ref[i]
+                pf = _gather_pred_uv(ref0, syf_ref[i], sxf_ref[i],
+                                     phf_ref[i], h, w)
+                f = (m & 1) != 0
+                if bidir:
+                    pb = _gather_pred_uv(ref1, syb_ref[i], sxb_ref[i],
+                                         phb_ref[i], h, w)
+                    bk = (m & 2) != 0
+                    both = (pf + pb + 1) >> 1
+                    pred = jnp.where(f & bk, both,
+                                     jnp.where(f, pf, jnp.where(bk, pb, 0)))
+                else:
+                    pred = jnp.where(f, pf, 0)
+                val = pred + res_ref[j * h:(j + 1) * h,
+                                     mb * tw:(mb + 1) * tw].astype(jnp.int32)
+                val = jnp.clip(val, 0, 255)
+                val = jnp.where((m & 4) != 0, val, 0)
+                out_ref[j * h:(j + 1) * h,
+                        mb * tw:(mb + 1) * tw] = val.astype(jnp.uint8)
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "H", "W", "interpret",
+                                    "bidir"))
+def fused_mc_recon_uv(ref0_pad, ref1_pad, res_plane, syf, sxf, phf, syb,
+                      sxb, phb, mode, *, h: int, w: int, H: int, W: int,
+                      interpret: bool = False, bidir: bool = True):
+    """Reconstruct BOTH chroma planes in one pass over the interleaved
+    (H, 2W) layout.  h/w/H/W are single-plane chroma dimensions; refs and
+    res_plane are interleaved (pad_ref_plane_uv / interleave_uv); sx/sy/ph
+    come from mc_meta on single-plane coordinates with sx doubled by the
+    caller.  Returns the interleaved (H, 2W) uint8 reconstruction
+    (deinterleave with out[:, 0::2], out[:, 1::2])."""
+    mbw = W // w
+    band = 16 if (16 % h == 0 and H % 16 == 0) else h
+    rows_per_step = band // h
+    grid = H // band
+    kernel = _make_kernel_uv(h, w, mbw, rows_per_step, bidir)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(ref0_pad.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ref1_pad.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, 2 * W), lambda r, *_: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, 2 * W), lambda r, *_: (r, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, 2 * W), jnp.uint8),
+        interpret=interpret,
+    )(syf, sxf, phf, syb, sxb, phb, mode, ref0_pad, ref1_pad, res_plane)
+
+
+def pad_ref_plane_uv(u, v, h: int, w: int):
+    """Interleave U and V and embed into the UV kernel's padded layout.
+    Window starts reach 2*(W-w) with a (2w+2)-column footprint."""
+    H, W = u.shape
+    rows = _load_rows(h)
+    max_sy0 = ((H - h) >> 3) << 3
+    hp = max(-(-(max_sy0 + rows) // 32) * 32, 32)
+    max_sx0 = ((2 * (W - w)) >> 7) << 7
+    wp = max(max_sx0 + 256, 256)
+    uv = interleave_uv(u, v)
+    return jnp.zeros((hp, wp), jnp.uint8).at[:H, :2 * W].set(uv)
+
+
+# ----------------------------------------------------------------------
 # SWAR variant: 4 pixels per 32-bit lane.
 #
 # The roll-variant kernel above rotates (ROWS, 256) int32 windows — 8+

@@ -21,8 +21,9 @@ from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureTokens
 from .idct import idct_blocks_jnp, idct_blocks_pallas
 from .mc import (mc_bidir_tiles, mc_field_tiles, mc_unidir_tiles, pad_for_mc)
 from .mc_pallas import (fused_mc_pred_swar, fused_mc_pred_swar_field,
-                        fused_mc_recon, mc_field_meta, mc_meta,
-                        pad_ref_plane, pad_ref_words, unpack_words)
+                        fused_mc_recon, fused_mc_recon_uv, interleave_uv,
+                        mc_field_meta, mc_meta, pad_ref_plane,
+                        pad_ref_plane_uv, pad_ref_words, unpack_words)
 
 
 def _tiles_from_blocks(blocks, rows, cols, interleave_mask):
@@ -408,6 +409,42 @@ class DeviceRecon:
         if field:
             mode = mode + 8 * field_pred.astype(jnp.int32)
         mbh, mbw = geom.mb_height, geom.mb_width
+        if not swar:
+            # roll kernels: one luma pass + ONE fused U+V pass over the
+            # column-interleaved chroma pair (U and V share MV/phase per
+            # MB, so one window load serves both — mc_pallas kernel docs)
+            h, w = 16, 16
+            H, W = mbh * h, mbw * w
+            res_y = _plane_from_tiles(res[0], mbh, mbw, h, w)
+            pos_y, pos_x = self._pos[0]
+            syf, sxf, phf = mc_meta(pos_y, pos_x, mv[:, 0, 0, 0],
+                                    mv[:, 0, 0, 1], H, W, h, w)
+            syb, sxb, phb = mc_meta(pos_y, pos_x, mv[:, 0, 1, 0],
+                                    mv[:, 0, 1, 1], H, W, h, w)
+            luma = fused_mc_recon(
+                pad_ref_plane(refs[0][0], h, w),
+                pad_ref_plane(refs[0][1], h, w), res_y,
+                syf, sxf, phf, syb, sxb, phb, mode,
+                h=h, w=w, H=H, W=W, interpret=self.pallas_interpret,
+                bidir=bidir)
+            ch_, cw_ = 16 >> ys, 16 >> xs
+            Hc, Wc = mbh * ch_, mbw * cw_
+            res_uv = interleave_uv(
+                _plane_from_tiles(res[1], mbh, mbw, ch_, cw_),
+                _plane_from_tiles(res[2], mbh, mbw, ch_, cw_))
+            cpos_y, cpos_x = self._pos[1]
+            mvc = _scale_mv(mv, 1, cf)
+            csyf, csxf, cphf = mc_meta(cpos_y, cpos_x, mvc[:, 0, 0, 0],
+                                       mvc[:, 0, 0, 1], Hc, Wc, ch_, cw_)
+            csyb, csxb, cphb = mc_meta(cpos_y, cpos_x, mvc[:, 0, 1, 0],
+                                       mvc[:, 0, 1, 1], Hc, Wc, ch_, cw_)
+            uv = fused_mc_recon_uv(
+                pad_ref_plane_uv(refs[1][0], refs[2][0], ch_, cw_),
+                pad_ref_plane_uv(refs[1][1], refs[2][1], ch_, cw_),
+                res_uv, csyf, 2 * csxf, cphf, csyb, 2 * csxb, cphb, mode,
+                h=ch_, w=cw_, H=Hc, W=Wc,
+                interpret=self.pallas_interpret, bidir=bidir)
+            return (luma, uv[:, 0::2], uv[:, 1::2])
         planes = []
         for comp in range(3):
             h = 16 if comp == 0 else 16 >> ys
@@ -421,38 +458,31 @@ class DeviceRecon:
             syb, sxb, phb = mc_meta(pos_y, pos_x, mvc[:, 0, 1, 0],
                                     mvc[:, 0, 1, 1], H, W, h, w)
             p0, p1 = refs[comp]
-            if swar:
-                # the uncoded-MB mask rides the residual: -256 saturates
-                # to 0 after the clip, so the kernel needs no coded bit
-                coded_px = jnp.broadcast_to(
-                    coded.reshape(mbh, mbw)[:, None, :, None],
-                    (mbh, h, mbw, w)).reshape(H, W)
-                res2 = jnp.where(coded_px, res_plane, jnp.int16(-256))
-                r0w = pad_ref_words(p0, h, w, field)
-                r1w = pad_ref_words(p1, h, w, field)
-                if field:
-                    fld_f = mc_field_meta(pos_y, pos_x, mvc[:, :, 0],
-                                          mvfs[:, :, 0], H, W, h, w)
-                    fld_b = mc_field_meta(pos_y, pos_x, mvc[:, :, 1],
-                                          mvfs[:, :, 1], H, W, h, w)
-                    predw = fused_mc_pred_swar_field(
-                        r0w, r1w, syf, sxf, phf, syb, sxb, phb, mode,
-                        fld_f, fld_b, h=h, w=w, H=H, W=W,
-                        interpret=self.pallas_interpret, bidir=bidir)
-                else:
-                    predw = fused_mc_pred_swar(
-                        r0w, r1w, syf, sxf, phf, syb, sxb, phb, mode,
-                        h=h, w=w, H=H, W=W,
-                        interpret=self.pallas_interpret, bidir=bidir)
-                pred = unpack_words(predw).astype(jnp.int16)
-                planes.append(
-                    jnp.clip(pred + res2, 0, 255).astype(jnp.uint8))
+            # the uncoded-MB mask rides the residual: -256 saturates
+            # to 0 after the clip, so the kernel needs no coded bit
+            coded_px = jnp.broadcast_to(
+                coded.reshape(mbh, mbw)[:, None, :, None],
+                (mbh, h, mbw, w)).reshape(H, W)
+            res2 = jnp.where(coded_px, res_plane, jnp.int16(-256))
+            r0w = pad_ref_words(p0, h, w, field)
+            r1w = pad_ref_words(p1, h, w, field)
+            if field:
+                fld_f = mc_field_meta(pos_y, pos_x, mvc[:, :, 0],
+                                      mvfs[:, :, 0], H, W, h, w)
+                fld_b = mc_field_meta(pos_y, pos_x, mvc[:, :, 1],
+                                      mvfs[:, :, 1], H, W, h, w)
+                predw = fused_mc_pred_swar_field(
+                    r0w, r1w, syf, sxf, phf, syb, sxb, phb, mode,
+                    fld_f, fld_b, h=h, w=w, H=H, W=W,
+                    interpret=self.pallas_interpret, bidir=bidir)
             else:
-                planes.append(fused_mc_recon(
-                    pad_ref_plane(p0, h, w), pad_ref_plane(p1, h, w),
-                    res_plane, syf, sxf, phf, syb, sxb, phb, mode,
-                    h=h, w=w, H=H, W=W, interpret=self.pallas_interpret,
-                    bidir=bidir))
+                predw = fused_mc_pred_swar(
+                    r0w, r1w, syf, sxf, phf, syb, sxb, phb, mode,
+                    h=h, w=w, H=H, W=W,
+                    interpret=self.pallas_interpret, bidir=bidir)
+            pred = unpack_words(predw).astype(jnp.int16)
+            planes.append(
+                jnp.clip(pred + res2, 0, 255).astype(jnp.uint8))
         return tuple(planes)
 
     def _recon_packed(self, cblk, cidx, meta, r0y, r0u, r0v, r1y, r1u, r1v,
