@@ -91,36 +91,56 @@ class RowShardedRecon:
 
     def __init__(self, geom: PictureGeometry, mesh: Mesh, axis: str = "row",
                  field_support: bool = False):
+        from ..ops.recon import GopRecon
         n = mesh.shape[axis]
         self.mesh = mesh
         self.axis = axis
         self.geom_in = geom
         self.geom = pad_geometry_rows(geom, n)
-        self.inner = DeviceRecon(self.geom, field_support=field_support)
+        # transport: the same pair-packed consolidated blob + pinned
+        # staging as the single-chip paths (GopRecon with chunk=1); its
+        # inner DeviceRecon doubles as the reconstructor
+        self.transport = GopRecon(self.geom, 1, field_support=field_support)
+        self.inner = self.transport.inner
 
+        rep = NamedSharding(mesh, P())              # replicated refs/blob
         tok = NamedSharding(mesh, P(axis))          # MB batch axis
-        rep = NamedSharding(mesh, P())              # replicated refs/coeffs
         rows = NamedSharding(mesh, P(axis, None))   # plane rows
         self._rep = rep
         self._tok = tok
         self._rows = rows
-        self._fn = jax.jit(
-            self._recon_sparse,
-            in_shardings=((rep, tok, tok) + (rep,) * 6),
-            out_shardings=(rows, rows, rows),
-        )
+        self._fns = {}   # (cap_pairs, cap_k) -> jitted fn
 
-    def _recon_sparse(self, cblk, cidx, meta, r0y, r0u, r0v, r1y, r1u, r1v):
-        from ..ops.recon import _unpack_meta
+    def _fn_for(self, cap_pairs: int, cap_k: int):
+        key = (cap_pairs, cap_k)
+        if key not in self._fns:
+            def f(blob, *refs):
+                return self._recon_blob(blob, *refs, cap_pairs=cap_pairs,
+                                        cap_k=cap_k)
+            self._fns[key] = jax.jit(
+                f, in_shardings=((self._rep,) + (self._rep,) * 6),
+                out_shardings=(self._rows,) * 3)
+        return self._fns[key]
+
+    def _recon_blob(self, blob, r0y, r0u, r0v, r1y, r1u, r1v,
+                    *, cap_pairs, cap_k):
+        from ..ops.recon import _unpack_meta2
         inner = self.inner
-        dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta(meta)
-        residual = inner._residual_sparse(cblk, cidx)
+        g = self.geom
+        dense, meta = self.transport._decode_blob(
+            blob, cap_pairs=cap_pairs, cap_k=cap_k)
+        # shard the per-MB work by row band; the cheap pair scatter + IDCT
+        # above stay replicated (they are a few % of the per-MB MC cost)
+        residual = jax.lax.with_sharding_constraint(
+            dense[0].reshape(g.n_mb, g.blocks_per_mb, 8, 8), self._tok)
+        m = jax.lax.with_sharding_constraint(meta[0], self._tok)
+        dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta2(
+            m, inner.field_support)
         return inner._recon_from_residual(
             residual, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
             r0y, r0u, r0v, r1y, r1u, r1v)
 
     def __call__(self, tokens: PictureTokens, ref0=None, ref1=None):
-        from ..ops.recon import _bucket, _sparse_src_map, pack_meta
         g = self.geom
         tokens = pad_tokens_rows(tokens, g)
         zero = lambda s: jnp.zeros(s, jnp.uint8)
@@ -132,17 +152,13 @@ class RowShardedRecon:
         # device_put IS the reference-plane all-gather over ICI
         ref0 = tuple(jax.device_put(p, self._rep) for p in ref0)
         ref1 = tuple(jax.device_put(p, self._rep) for p in ref1)
-        n_rows = g.n_mb * g.blocks_per_mb
-        k = tokens.n_coded_blocks
-        cap = _bucket(k + 1, n_rows + 1)
-        cblk = np.zeros((cap, 64), np.int16)
-        cblk[:k] = tokens.cblk[:k]
-        cidx = _sparse_src_map(tokens.cblk_idx, k, n_rows, dummy=k)
-        meta = pack_meta(tokens)
-        return self._fn(
-            jax.device_put(cblk, self._rep),
-            jax.device_put(cidx, self._tok),
-            jax.device_put(meta, self._tok), *ref0, *ref1)
+        staged = self.transport.prepare([tokens], [2])
+        key, blob = staged[0], staged[1]
+        up = jax.device_put(blob, self._rep)
+        out = self._fn_for(key[0], key[1])(up, *ref0, *ref1)
+        self.transport.mark_dispatched(
+            staged, out[0] if jax.default_backend() == "cpu" else up)
+        return out
 
 
 class StreamBatchRecon:
