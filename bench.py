@@ -29,7 +29,7 @@ from bench_stream import make_bench_stream  # noqa: E402
 
 N_PICTURES = 64
 WARMUP = 2
-REPEATS = 10  # tunneled-device throughput swings 4-7x between windows
+REPEATS = 16  # tunneled-device throughput swings 4-7x between windows
               # (PROFILE_r04.json rep spread: 0.81-3.59 s in ONE run);
               # best-of over more reps measures the machine, not the
               # tunnel — the spread is recorded in the profile artifact

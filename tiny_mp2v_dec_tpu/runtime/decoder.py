@@ -33,7 +33,13 @@ class DecoderConfig:
     height: int = 0
     chroma_format: int = 0
     # max undelivered pictures in flight on device (0 = unbounded) —
-    # back-pressure, reference: threads.cpp:161-169
+    # back-pressure, reference: threads.cpp:161-169.  Applies uniformly:
+    # every path (per-picture, gop_chunk, mesh="rows") routes frames
+    # through _emit, which blocks on the oldest undelivered frame's
+    # device buffer once the pool is exceeded.  The chunk path ALSO
+    # bounds in-flight device chunks (<=3 submitted, <=2 unfinished) and
+    # staging slots (3), which cap device/host memory independently of
+    # frame delivery.
     pictures_pool_size: int = 10
     num_threads: int = 0          # 0 = auto (native tokenizer threads)
     reordering: bool = True
