@@ -127,7 +127,7 @@ class RowShardedRecon:
         from ..ops.recon import _unpack_meta2
         inner = self.inner
         g = self.geom
-        dense, meta = self.transport._decode_blob(
+        dense, meta, _flags = self.transport._decode_blob(
             blob, cap_pairs=cap_pairs, cap_k=cap_k)
         # shard the per-MB work by row band; the cheap pair scatter + IDCT
         # above stay replicated (they are a few % of the per-MB MC cost)
@@ -153,7 +153,7 @@ class RowShardedRecon:
         ref0 = tuple(jax.device_put(p, self._rep) for p in ref0)
         ref1 = tuple(jax.device_put(p, self._rep) for p in ref1)
         staged = self.transport.prepare([tokens], [2])
-        key, blob = staged[0], staged[1]
+        key, blob = staged
         up = jax.device_put(blob, self._rep)
         out = self._fn_for(key[0], key[1])(up, *ref0, *ref1)
         self.transport.mark_dispatched(
@@ -199,23 +199,24 @@ class StreamBatchRecon:
     def _fn_for(self, cap_pairs: int, cap_k: int):
         key = (cap_pairs, cap_k)
         if key not in self._fns:
-            def f(blob, is_b, is_ip, *refs):
-                return self._step(blob, is_b, is_ip, *refs,
+            def f(blob, *refs):
+                return self._step(blob, *refs,
                                   cap_pairs=cap_pairs, cap_k=cap_k)
             self._fns[key] = jax.jit(
                 f,
-                in_shardings=((self._rep, self._st, self._st)
-                              + (self._st,) * 6),
+                in_shardings=((self._rep,) + (self._st,) * 6),
                 out_shardings=(self._st,) * 9)
         return self._fns[key]
 
-    def _step(self, blob, is_b, is_ip, r0y, r0u, r0v, r1y, r1u, r1v,
+    def _step(self, blob, r0y, r0u, r0v, r1y, r1u, r1v,
               *, cap_pairs, cap_k):
         from ..ops.recon import _unpack_meta2
         inner = self.inner
         geom = self.geom
-        dense, meta = self.transport._decode_blob(
+        dense, meta, flags = self.transport._decode_blob(
             blob, cap_pairs=cap_pairs, cap_k=cap_k)
+        is_b = (flags & 1) != 0
+        is_ip = (flags & 2) != 0
 
         def one(res, m, b_flag, ip_flag, r0y, r0u, r0v, r1y, r1u, r1v):
             dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta2(
@@ -250,9 +251,12 @@ class StreamBatchRecon:
         reference.  refs0/refs1: per-stream reference plane tuples, each
         stacked (n_streams, H, W).  Returns (refs0, refs1, (y, u, v))."""
         assert len(tokens_list) == self.n_streams
+        # is_ip must be the complement of is_b (the transport encodes the
+        # step flags from the picture type; padding steps are B-coded)
+        assert all(bool(b) != bool(p) for b, p in zip(is_b, is_ip))
         staged = self.transport.prepare(tokens_list,
                                         [3 if b else 2 for b in is_b])
-        key, blob, _, _ = staged
+        key, blob = staged
         cap_pairs, cap_k = key[0], key[1]
         if refs0 is None:
             refs0 = self._zero_refs()
@@ -260,10 +264,8 @@ class StreamBatchRecon:
             refs1 = self._zero_refs()
         refs0 = tuple(jax.device_put(p, self._st) for p in refs0)
         refs1 = tuple(jax.device_put(p, self._st) for p in refs1)
-        isb = jnp.asarray(np.asarray(is_b, bool))
-        isip = jnp.asarray(np.asarray(is_ip, bool))
         up = jax.device_put(blob, self._rep)
-        out = self._fn_for(cap_pairs, cap_k)(up, isb, isip, *refs0, *refs1)
+        out = self._fn_for(cap_pairs, cap_k)(up, *refs0, *refs1)
         self.transport.mark_dispatched(
             staged, out[0] if jax.default_backend() == "cpu" else up)
         return out[0:3], out[3:6], out[6:9]

@@ -133,16 +133,19 @@ def main():
         gr(toks, pcts)
         key = next(iter(gr._stage))
         cap_pairs, cap_k = key[0], key[1]
-        blob = jnp.asarray(gr._stage[key][0])
-        is_b = jnp.asarray(np.array([p == 3 for p in pcts], bool))
+        from tiny_mp2v_dec_tpu.ops.recon import _split_point
+        whole = gr._stage[key][0]
+        half = _split_point(len(whole))
+        blob_a = jnp.asarray(whole[:half])
+        blob_b = jnp.asarray(whole[half:])
         zeros = gr.inner.zero_planes()
 
-        def chunk_op(b, bb, r0y, r0u, r0v, salt, _gr=gr, _cp=cap_pairs,
+        def chunk_op(ba, bb_, r0y, r0u, r0v, salt, _gr=gr, _cp=cap_pairs,
                      _ck=cap_k):
-            return _gr._fn(b + salt.astype(jnp.uint8), bb, ~bb,
+            return _gr._fn(ba + salt.astype(jnp.uint8), bb_,
                            r0y, r0u, r0v, r0y, r0u, r0v,
                            cap_pairs=_cp, cap_k=_ck)
-        t = chain_time(chunk_op, (blob, is_b, *zeros), n=8)
+        t = chain_time(chunk_op, (blob_a, blob_b, *zeros), n=8)
         out[f"chunk_step_{impl}_ms"] = round(t * 1e3, 3)
         out[f"chunk_step_{impl}_ms_per_pic"] = round(t * 1e3 / chunk, 3)
         print(f"chunk_step_{impl}: {t*1e3:.2f} ms "
