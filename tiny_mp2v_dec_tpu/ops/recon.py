@@ -592,11 +592,10 @@ class DeviceRecon:
                                   bidir=bool(tokens.bwd.any()))
             # Slot guard (see __init__): on CPU the computation may read the
             # staging memory directly (zero-copy aliasing) so the guard is
-            # the computation's outputs; on device backends the upload is a
-            # real copy and guarding the uploaded arrays preserves pipeline
-            # depth.
+            # the computation's outputs; on device backends the upload
+            # snapshots synchronously (verified) — no guard needed.
             self._stage_busy[slot] = out if jax.default_backend() == "cpu" \
-                else (cblk, cidx, meta)
+                else None
         return out
 
 
@@ -976,11 +975,16 @@ class GopRecon:
             up = _upload_split(blob)
             out = self._fn(*up, *ref0, *ref1,
                            cap_pairs=cap_pairs, cap_k=cap_k)
-            # Slot guard: outputs on CPU (zero-copy aliasing — see
-            # DeviceRecon.__init__), the uploaded blob on device backends
-            # (real copy; guarding outputs would throttle the pipeline).
+            # Slot guard: on CPU the computation may read the staging
+            # memory directly (zero-copy aliasing — see
+            # DeviceRecon.__init__) so the guard is the outputs; on
+            # device backends jnp.asarray SNAPSHOTS the host data before
+            # returning (verified on the axon TPU client: mutating the
+            # source right after the call never reaches the device), so
+            # the slot is free as soon as the upload call returned — no
+            # guard, the cv sequencing alone paces slot reuse.
             self._stage_busy[key] = out if jax.default_backend() == "cpu" \
-                else up
+                else None
             self._compiled.add((cap_pairs, cap_k))
         finally:
             # release the staging-slot bound even on failure (a stuck

@@ -157,7 +157,7 @@ class RowShardedRecon:
         up = jax.device_put(blob, self._rep)
         out = self._fn_for(key[0], key[1])(up, *ref0, *ref1)
         self.transport.mark_dispatched(
-            staged, out[0] if jax.default_backend() == "cpu" else up)
+            staged, out[0] if jax.default_backend() == "cpu" else None)
         return out
 
 
@@ -267,7 +267,7 @@ class StreamBatchRecon:
         up = jax.device_put(blob, self._rep)
         out = self._fn_for(cap_pairs, cap_k)(up, *refs0, *refs1)
         self.transport.mark_dispatched(
-            staged, out[0] if jax.default_backend() == "cpu" else up)
+            staged, out[0] if jax.default_backend() == "cpu" else None)
         return out[0:3], out[3:6], out[6:9]
 
     def __call__(self, tokens_list, refs0=None, refs1=None):
