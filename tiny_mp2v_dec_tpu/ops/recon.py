@@ -820,16 +820,14 @@ class GopRecon:
             residual = res.reshape(geom.n_mb, geom.blocks_per_mb, 8, 8)
             # B pictures predict from (older, newer); I/P from (newer, -)
             ref0u = tuple(jnp.where(b_flag, a, b) for a, b in zip(r0, r1))
-            ops = (residual, dct_type, fwd, bwd, field_pred, coded, mv,
-                   mvfs, *ref0u, *r1)
-            # I/P steps take the forward-only kernels (no bwd gather —
-            # ~40% of the MC work skipped for half the pictures of an
-            # IBBP stream); both branches compile once
-            out = jax.lax.cond(
-                b_flag,
-                lambda o: inner._recon_from_residual(*o, bidir=True),
-                lambda o: inner._recon_from_residual(*o, bidir=False),
-                ops)
+            # NOTE: selecting the forward-only kernels for I/P steps via
+            # lax.cond was built and measured out: duplicating the kernel
+            # set inside the scan OOM-kills the tunneled platform's
+            # compile helper (SIGKILL, reproducible).  All steps run the
+            # bidir kernels; I/P steps simply gather from ref1 twice.
+            out = inner._recon_from_residual(
+                residual, dct_type, fwd, bwd, field_pred, coded, mv,
+                mvfs, *ref0u, *r1)
             packed = jnp.concatenate([
                 out[0][:geom.height, :geom.width].reshape(-1),
                 out[1][:ch, :cw].reshape(-1), out[2][:ch, :cw].reshape(-1)])
