@@ -74,12 +74,19 @@ def main():
     # Gate 2: the whole GOP chunk step (scatter+IDCT+scan) with Pallas
     # kernels must beat the XLA-only formulation of the same program.
     # Chained through the uploaded blob (salt) — one compile per variant.
+    # Content: the bench stream's real tokens — dense random tokens give
+    # a ~24M-pair program whose compile OOM-kills the tunneled platform's
+    # compile helper, and production density is what the gate should
+    # measure anyway.
+    from bench_stream import make_bench_stream
+    from tiny_mp2v_dec_tpu import DecoderConfig, MP2VDecoder
     from tiny_mp2v_dec_tpu.ops.recon import GopRecon
-    from tiny_mp2v_dec_tpu.parallel.mesh import random_tokens
-    nprng = np.random.default_rng(1)
     chunk = 16
-    toks = [random_tokens(nprng, geom) for _ in range(chunk)]
-    pcts = [1] + [2, 3, 3] * 5
+    data = make_bench_stream(chunk, os.path.join(_HERE, ".bench_cache"))
+    dec = MP2VDecoder(DecoderConfig())
+    seq = dec.tokenize_stream(data)
+    toks = [t for t, _, _ in seq]
+    pcts = [ph.picture_coding_type for _, _, ph in seq]
     chunk_ms = {}
     for name, use in (("pallas", True), ("xla", False)):
         gr = GopRecon(geom, chunk, field_support=False,
