@@ -290,6 +290,116 @@ def pad_ref_plane_uv(u, v, h: int, w: int):
 
 
 # ----------------------------------------------------------------------
+# MXU variant: window selection as one-hot matmuls.
+#
+# The roll kernel's cost is dominated by the two dynamic rotates per
+# window; the MXU sits idle.  Selecting the (h+1) rows and (w+1) columns
+# of a window is exactly  O_y @ W @ O_x  with one-hot selection matrices
+# built from iota comparisons — and with uint8 pixel data in bfloat16
+# every product/sum is a single exact integer (values <= 255, one nonzero
+# term per row), so the result is bit-exact.  The reference planes are
+# kept in bfloat16 VMEM (2 bytes/px) so no per-MB convert is needed.
+
+
+def _gather_pred_mxu(refb, sy, sx, ph, h, w):
+    """One unidirectional half-pel prediction via MXU one-hot selection:
+    (h, w) int32 block.  refb: bfloat16 reference plane."""
+    rows = _load_rows(h)
+    sy0 = pl.multiple_of((sy >> 3) << 3, 8)
+    ry = sy - sy0
+    sx0 = pl.multiple_of((sx >> 7) << 7, 128)
+    rx = sx - sx0
+    win = refb[pl.ds(sy0, rows), pl.ds(sx0, 256)]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h + 1, rows), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (h + 1, rows), 1)
+    oy = (rr == ii + ry).astype(jnp.bfloat16)
+    t = jax.lax.dot_general(oy, win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (256, w + 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (256, w + 1), 1)
+    ox = (cc == jj + rx).astype(jnp.bfloat16)
+    sel = jax.lax.dot_general(t.astype(jnp.bfloat16), ox,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    win_s = sel.astype(jnp.int32)            # exact: one term, <= 255
+    a = win_s[:h, :w]
+    b = win_s[:h, 1:w + 1]
+    c = win_s[1:h + 1, :w]
+    d = win_s[1:h + 1, 1:w + 1]
+    ab = (a + b + 1) >> 1
+    ac = (a + c + 1) >> 1
+    abcd = (ab + ((c + d + 1) >> 1) + 1) >> 1
+    hx = (ph & 1) != 0
+    hy = (ph & 2) != 0
+    return jnp.where(hx & hy, abcd, jnp.where(hx, ab, jnp.where(hy, ac, a)))
+
+
+def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
+                     bidir: bool):
+    def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+               mode_ref, ref0, ref1, res_ref, out_ref):
+        r = pl.program_id(0)
+        for j in range(rows_per_step):
+            for mb in range(mbw):
+                i = (r * rows_per_step + j) * mbw + mb
+                m = mode_ref[i]
+                pf = _gather_pred_mxu(ref0, syf_ref[i], sxf_ref[i],
+                                      phf_ref[i], h, w)
+                f = (m & 1) != 0
+                if bidir:
+                    pb = _gather_pred_mxu(ref1, syb_ref[i], sxb_ref[i],
+                                          phb_ref[i], h, w)
+                    bk = (m & 2) != 0
+                    both = (pf + pb + 1) >> 1
+                    pred = jnp.where(f & bk, both,
+                                     jnp.where(f, pf, jnp.where(bk, pb, 0)))
+                else:
+                    pred = jnp.where(f, pf, 0)
+                val = pred + res_ref[j * h:(j + 1) * h,
+                                     mb * w:(mb + 1) * w].astype(jnp.int32)
+                val = jnp.clip(val, 0, 255)
+                val = jnp.where((m & 4) != 0, val, 0)
+                out_ref[j * h:(j + 1) * h,
+                        mb * w:(mb + 1) * w] = val.astype(jnp.uint8)
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "H", "W", "interpret",
+                                    "bidir"))
+def fused_mc_recon_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
+                       sxb, phb, mode, *, h: int, w: int, H: int, W: int,
+                       interpret: bool = False, bidir: bool = True):
+    """MXU-selection variant of fused_mc_recon; refs are
+    pad_ref_plane(...).astype(bfloat16)."""
+    mbw = W // w
+    band = 16 if (16 % h == 0 and H % 16 == 0) else h
+    rows_per_step = band // h
+    grid = H // band
+    kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(ref0_bf.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ref1_bf.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, W), lambda r, *_: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, W), lambda r, *_: (r, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.uint8),
+        interpret=interpret,
+    )(syf, sxf, phf, syb, sxb, phb, mode, ref0_bf, ref1_bf, res_plane)
+
+
+# ----------------------------------------------------------------------
 # SWAR variant: 4 pixels per 32-bit lane.
 #
 # The roll-variant kernel above rotates (ROWS, 256) int32 windows — 8+
