@@ -48,7 +48,7 @@ def _recon_args(rng, geom):
             *r0, *r1)
 
 
-@pytest.mark.parametrize("mc_impl", ["roll", "swar"])
+@pytest.mark.parametrize("mc_impl", ["roll", "swar", "mxu"])
 @pytest.mark.parametrize("cf,w,h", [
     (H.CHROMA_420, 192, 112),
     (H.CHROMA_422, 320, 128),

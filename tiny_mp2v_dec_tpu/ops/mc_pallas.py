@@ -301,9 +301,14 @@ def pad_ref_plane_uv(u, v, h: int, w: int):
 # kept in bfloat16 VMEM (2 bytes/px) so no per-MB convert is needed.
 
 
-def _gather_pred_mxu(refb, sy, sx, ph, h, w):
+def _gather_pred_mxu(refb, sy, sx, ph, h, tw, htap: int = 1):
     """One unidirectional half-pel prediction via MXU one-hot selection:
-    (h, w) int32 block.  refb: bfloat16 reference plane."""
+    (h, tw) int32 block.  refb: bfloat16 reference plane.
+
+    ``tw`` is the tile width in plane columns and ``htap`` the horizontal
+    half-pel tap distance: (16, 1) for luma, (2w, 2) for the
+    column-interleaved UV plane (the +1-chroma-pixel tap is +2 interleaved
+    columns)."""
     rows = _load_rows(h)
     sy0 = pl.multiple_of((sy >> 3) << 3, 8)
     ry = sy - sy0
@@ -315,17 +320,18 @@ def _gather_pred_mxu(refb, sy, sx, ph, h, w):
     oy = (rr == ii + ry).astype(jnp.bfloat16)
     t = jax.lax.dot_general(oy, win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (256, w + 1), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (256, w + 1), 1)
+    wsel = tw + htap
+    cc = jax.lax.broadcasted_iota(jnp.int32, (256, wsel), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (256, wsel), 1)
     ox = (cc == jj + rx).astype(jnp.bfloat16)
     sel = jax.lax.dot_general(t.astype(jnp.bfloat16), ox,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     win_s = sel.astype(jnp.int32)            # exact: one term, <= 255
-    a = win_s[:h, :w]
-    b = win_s[:h, 1:w + 1]
-    c = win_s[1:h + 1, :w]
-    d = win_s[1:h + 1, 1:w + 1]
+    a = win_s[:h, :tw]
+    b = win_s[:h, htap:tw + htap]
+    c = win_s[1:h + 1, :tw]
+    d = win_s[1:h + 1, htap:tw + htap]
     ab = (a + b + 1) >> 1
     ac = (a + c + 1) >> 1
     abcd = (ab + ((c + d + 1) >> 1) + 1) >> 1
@@ -335,7 +341,10 @@ def _gather_pred_mxu(refb, sy, sx, ph, h, w):
 
 
 def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
-                     bidir: bool):
+                     bidir: bool, uv: bool = False):
+    tw = 2 * w if uv else w
+    htap = 2 if uv else 1
+
     def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
                mode_ref, ref0, ref1, res_ref, out_ref):
         r = pl.program_id(0)
@@ -344,11 +353,11 @@ def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
                 i = (r * rows_per_step + j) * mbw + mb
                 m = mode_ref[i]
                 pf = _gather_pred_mxu(ref0, syf_ref[i], sxf_ref[i],
-                                      phf_ref[i], h, w)
+                                      phf_ref[i], h, tw, htap)
                 f = (m & 1) != 0
                 if bidir:
                     pb = _gather_pred_mxu(ref1, syb_ref[i], sxb_ref[i],
-                                          phb_ref[i], h, w)
+                                          phb_ref[i], h, tw, htap)
                     bk = (m & 2) != 0
                     both = (pf + pb + 1) >> 1
                     pred = jnp.where(f & bk, both,
@@ -356,11 +365,11 @@ def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
                 else:
                     pred = jnp.where(f, pf, 0)
                 val = pred + res_ref[j * h:(j + 1) * h,
-                                     mb * w:(mb + 1) * w].astype(jnp.int32)
+                                     mb * tw:(mb + 1) * tw].astype(jnp.int32)
                 val = jnp.clip(val, 0, 255)
                 val = jnp.where((m & 4) != 0, val, 0)
                 out_ref[j * h:(j + 1) * h,
-                        mb * w:(mb + 1) * w] = val.astype(jnp.uint8)
+                        mb * tw:(mb + 1) * tw] = val.astype(jnp.uint8)
     return kernel
 
 
@@ -395,6 +404,43 @@ def fused_mc_recon_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.uint8),
+        interpret=interpret,
+    )(syf, sxf, phf, syb, sxb, phb, mode, ref0_bf, ref1_bf, res_plane)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "H", "W", "interpret",
+                                    "bidir"))
+def fused_mc_recon_uv_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
+                          sxb, phb, mode, *, h: int, w: int, H: int,
+                          W: int, interpret: bool = False,
+                          bidir: bool = True):
+    """MXU-selection variant of fused_mc_recon_uv: both chroma planes in
+    one pass over the column-interleaved (H, 2W) layout; refs are
+    pad_ref_plane_uv(...).astype(bfloat16); sx doubled by the caller."""
+    mbw = W // w
+    band = 16 if (16 % h == 0 and H % 16 == 0) else h
+    rows_per_step = band // h
+    grid = H // band
+    kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir, uv=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(ref0_bf.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ref1_bf.shape, lambda r, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, 2 * W), lambda r, *_: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, 2 * W), lambda r, *_: (r, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, 2 * W), jnp.uint8),
         interpret=interpret,
     )(syf, sxf, phf, syb, sxb, phb, mode, ref0_bf, ref1_bf, res_plane)
 

@@ -21,9 +21,11 @@ from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureTokens
 from .idct import idct_blocks_jnp, idct_blocks_pallas
 from .mc import (mc_bidir_tiles, mc_field_tiles, mc_unidir_tiles, pad_for_mc)
 from .mc_pallas import (fused_mc_pred_swar, fused_mc_pred_swar_field,
-                        fused_mc_recon, fused_mc_recon_uv, interleave_uv,
-                        mc_field_meta, mc_meta, pad_ref_plane,
-                        pad_ref_plane_uv, pad_ref_words, unpack_words)
+                        fused_mc_recon, fused_mc_recon_mxu,
+                        fused_mc_recon_uv, fused_mc_recon_uv_mxu,
+                        interleave_uv, mc_field_meta, mc_meta,
+                        pad_ref_plane, pad_ref_plane_uv, pad_ref_words,
+                        unpack_words)
 
 
 def _tiles_from_blocks(blocks, rows, cols, interleave_mask):
@@ -189,8 +191,11 @@ def _load_packers():
 # packed-word stores poorly — so "roll" is the production default;
 # field-support chunks still use the swar kernel (the roll kernel has no
 # field path and the XLA fallback is slower still).
+# "mxu" (one-hot matmul window selection, bf16 planes, bit-exact) beats
+# "roll" 0.91 vs 2.42 ms for 1080p luma bidir on v5e; "swar" kept for its
+# field path.
 import os as _os
-_DEFAULT_MC_IMPL = _os.environ.get("MP2V_MC_IMPL", "roll")
+_DEFAULT_MC_IMPL = _os.environ.get("MP2V_MC_IMPL", "mxu")
 
 
 # The tunneled transport is per-message latency-bound: two concurrent
@@ -436,9 +441,24 @@ class DeviceRecon:
             mode = mode + 8 * field_pred.astype(jnp.int32)
         mbh, mbw = geom.mb_height, geom.mb_width
         if not swar:
-            # roll kernels: one luma pass + ONE fused U+V pass over the
-            # column-interleaved chroma pair (U and V share MV/phase per
-            # MB, so one window load serves both — mc_pallas kernel docs)
+            # roll/mxu kernels: one luma pass + ONE fused U+V pass over
+            # the column-interleaved chroma pair (U and V share MV/phase
+            # per MB, so one window gather serves both).  The mxu variant
+            # selects windows with one-hot matmuls on bfloat16 planes —
+            # integer-exact for pixel data, ~2.7x the roll kernel
+            # (PROFILE_mc_r04.json / PERF_NOTES r4).
+            mxu = self.mc_impl == "mxu"
+            luma_fn = fused_mc_recon_mxu if mxu else fused_mc_recon
+            uv_fn = fused_mc_recon_uv_mxu if mxu else fused_mc_recon_uv
+
+            def prep(p, h_, w_):
+                pp = pad_ref_plane(p, h_, w_)
+                return pp.astype(jnp.bfloat16) if mxu else pp
+
+            def prep_uv(u, v, h_, w_):
+                pp = pad_ref_plane_uv(u, v, h_, w_)
+                return pp.astype(jnp.bfloat16) if mxu else pp
+
             h, w = 16, 16
             H, W = mbh * h, mbw * w
             res_y = _plane_from_tiles(res[0], mbh, mbw, h, w)
@@ -447,9 +467,8 @@ class DeviceRecon:
                                     mv[:, 0, 0, 1], H, W, h, w)
             syb, sxb, phb = mc_meta(pos_y, pos_x, mv[:, 0, 1, 0],
                                     mv[:, 0, 1, 1], H, W, h, w)
-            luma = fused_mc_recon(
-                pad_ref_plane(refs[0][0], h, w),
-                pad_ref_plane(refs[0][1], h, w), res_y,
+            luma = luma_fn(
+                prep(refs[0][0], h, w), prep(refs[0][1], h, w), res_y,
                 syf, sxf, phf, syb, sxb, phb, mode,
                 h=h, w=w, H=H, W=W, interpret=self.pallas_interpret,
                 bidir=bidir)
@@ -464,9 +483,9 @@ class DeviceRecon:
                                        mvc[:, 0, 0, 1], Hc, Wc, ch_, cw_)
             csyb, csxb, cphb = mc_meta(cpos_y, cpos_x, mvc[:, 0, 1, 0],
                                        mvc[:, 0, 1, 1], Hc, Wc, ch_, cw_)
-            uv = fused_mc_recon_uv(
-                pad_ref_plane_uv(refs[1][0], refs[2][0], ch_, cw_),
-                pad_ref_plane_uv(refs[1][1], refs[2][1], ch_, cw_),
+            uv = uv_fn(
+                prep_uv(refs[1][0], refs[2][0], ch_, cw_),
+                prep_uv(refs[1][1], refs[2][1], ch_, cw_),
                 res_uv, csyf, 2 * csxf, cphf, csyb, 2 * csxb, cphb, mode,
                 h=ch_, w=cw_, H=Hc, W=Wc,
                 interpret=self.pallas_interpret, bidir=bidir)
