@@ -71,12 +71,13 @@ def test_fused_mc_recon_interpret_parity(cf, w, h, mc_impl):
                                       err_msg=f"component {comp}")
 
 
+@pytest.mark.parametrize("mc_impl", ["swar", "mxu"])
 @pytest.mark.parametrize("cf,w,h", [
     (H.CHROMA_420, 192, 112),
     (H.CHROMA_422, 320, 128),
     (H.CHROMA_444, 192, 96),
 ])
-def test_fused_mc_field_interpret_parity(cf, w, h):
+def test_fused_mc_field_interpret_parity(cf, w, h, mc_impl):
     """Field-based prediction in the swar Pallas kernel (affine row-base
     gathers + parity interleave) == the XLA field gather formulation —
     field_support=True no longer drops pictures to the slow path
@@ -101,10 +102,10 @@ def test_fused_mc_field_interpret_parity(cf, w, h):
                     use_pallas_idct=False)._fn(*args)
     b = DeviceRecon(geom, field_support=True, use_pallas_mc=True,
                     use_pallas_idct=True, pallas_interpret=True,
-                    mc_impl="swar")._fn(*args)
+                    mc_impl=mc_impl)._fn(*args)
     assert b is not None and DeviceRecon(
         geom, field_support=True, use_pallas_mc=True,
-        mc_impl="swar").use_pallas_mc  # field no longer disables the kernel
+        mc_impl=mc_impl).use_pallas_mc  # field no longer disables the kernel
     for comp, (x, y) in enumerate(zip(a, b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=f"component {comp}")

@@ -120,8 +120,9 @@ def _make_kernel(h: int, w: int, mbw: int, rows_per_step: int,
                    static_argnames=("h", "w", "H", "W", "interpret",
                                     "bidir"))
 def fused_mc_recon(ref0_pad, ref1_pad, res_plane, syf, sxf, phf, syb, sxb,
-                   phb, mode, *, h: int, w: int, H: int, W: int,
-                   interpret: bool = False, bidir: bool = True):
+                   phb, mode, fld_f=None, fld_b=None, *, h: int, w: int,
+                   H: int, W: int, interpret: bool = False,
+                   bidir: bool = True):
     """Reconstruct one (H, W) component plane.
 
     ref0_pad/ref1_pad: ``pad_shape(H, W, h, w)`` uint8 planes (forward /
@@ -131,6 +132,7 @@ def fused_mc_recon(ref0_pad, ref1_pad, res_plane, syf, sxf, phf, syb, sxb,
     and mode bits (1=fwd, 2=bwd, 4=coded).  ``bidir=False`` compiles the
     forward-only kernel (valid when no MB sets the bwd mode bit).
     """
+    assert fld_f is None, "the roll kernel has no field path (use mxu)"
     mbw = W // w
     # 16-row bands keep uint8 stores tiled (when the plane height allows)
     band = 16 if (16 % h == 0 and H % 16 == 0) else h
@@ -241,14 +243,16 @@ def _make_kernel_uv(h: int, w: int, mbw: int, rows_per_step: int,
                    static_argnames=("h", "w", "H", "W", "interpret",
                                     "bidir"))
 def fused_mc_recon_uv(ref0_pad, ref1_pad, res_plane, syf, sxf, phf, syb,
-                      sxb, phb, mode, *, h: int, w: int, H: int, W: int,
-                      interpret: bool = False, bidir: bool = True):
+                      sxb, phb, mode, fld_f=None, fld_b=None, *, h: int,
+                      w: int, H: int, W: int, interpret: bool = False,
+                      bidir: bool = True):
     """Reconstruct BOTH chroma planes in one pass over the interleaved
     (H, 2W) layout.  h/w/H/W are single-plane chroma dimensions; refs and
     res_plane are interleaved (pad_ref_plane_uv / interleave_uv); sx/sy/ph
     come from mc_meta on single-plane coordinates with sx doubled by the
     caller.  Returns the interleaved (H, 2W) uint8 reconstruction
     (deinterleave with out[:, 0::2], out[:, 1::2])."""
+    assert fld_f is None, "the roll UV kernel has no field path (use mxu)"
     mbw = W // w
     band = 16 if (16 % h == 0 and H % 16 == 0) else h
     rows_per_step = band // h
@@ -276,12 +280,13 @@ def fused_mc_recon_uv(ref0_pad, ref1_pad, res_plane, syf, sxf, phf, syb,
     )(syf, sxf, phf, syb, sxb, phb, mode, ref0_pad, ref1_pad, res_plane)
 
 
-def pad_ref_plane_uv(u, v, h: int, w: int):
+def pad_ref_plane_uv(u, v, h: int, w: int, field: bool = False):
     """Interleave U and V and embed into the UV kernel's padded layout.
-    Window starts reach 2*(W-w) with a (2w+2)-column footprint."""
+    Window starts reach 2*(W-w) with a (2w+2)-column footprint;
+    ``field=True`` sizes for the field gathers' taller reach."""
     H, W = u.shape
-    rows = _load_rows(h)
-    max_sy0 = ((H - h) >> 3) << 3
+    rows = _load_rows(h, 2 if field else 1)
+    max_sy0 = (((H - h + 1) if field else (H - h)) >> 3) << 3
     hp = max(-(-(max_sy0 + rows) // 32) * 32, 32)
     max_sx0 = ((2 * (W - w)) >> 7) << 7
     wp = max(max_sx0 + 256, 256)
@@ -301,22 +306,27 @@ def pad_ref_plane_uv(u, v, h: int, w: int):
 # kept in bfloat16 VMEM (2 bytes/px) so no per-MB convert is needed.
 
 
-def _gather_pred_mxu(refb, sy, sx, ph, h, tw, htap: int = 1):
+def _gather_pred_mxu(refb, sy, sx, ph, h, tw, htap: int = 1,
+                     vtap: int = 1):
     """One unidirectional half-pel prediction via MXU one-hot selection:
     (h, tw) int32 block.  refb: bfloat16 reference plane.
 
     ``tw`` is the tile width in plane columns and ``htap`` the horizontal
     half-pel tap distance: (16, 1) for luma, (2w, 2) for the
     column-interleaved UV plane (the +1-chroma-pixel tap is +2 interleaved
-    columns)."""
-    rows = _load_rows(h)
-    sy0 = pl.multiple_of((sy >> 3) << 3, 8)
+    columns).  ``vtap=2`` selects field prediction in frame coordinates
+    (vertical taps two rows down; ``sy`` is then the affine row base
+    2*syf + sel - r, which may be -1 — the one-hot simply selects nothing
+    for rows above the plane, and the caller parity-masks them)."""
+    rows = _load_rows(h, vtap)
+    sy0 = pl.multiple_of((jnp.maximum(sy, 0) >> 3) << 3, 8)
     ry = sy - sy0
     sx0 = pl.multiple_of((sx >> 7) << 7, 128)
     rx = sx - sx0
     win = refb[pl.ds(sy0, rows), pl.ds(sx0, 256)]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (h + 1, rows), 0)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (h + 1, rows), 1)
+    hs = h + vtap
+    ii = jax.lax.broadcasted_iota(jnp.int32, (hs, rows), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (hs, rows), 1)
     oy = (rr == ii + ry).astype(jnp.bfloat16)
     t = jax.lax.dot_general(oy, win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -330,8 +340,8 @@ def _gather_pred_mxu(refb, sy, sx, ph, h, tw, htap: int = 1):
     win_s = sel.astype(jnp.int32)            # exact: one term, <= 255
     a = win_s[:h, :tw]
     b = win_s[:h, htap:tw + htap]
-    c = win_s[1:h + 1, :tw]
-    d = win_s[1:h + 1, htap:tw + htap]
+    c = win_s[vtap:h + vtap, :tw]
+    d = win_s[vtap:h + vtap, htap:tw + htap]
     ab = (a + b + 1) >> 1
     ac = (a + c + 1) >> 1
     abcd = (ab + ((c + d + 1) >> 1) + 1) >> 1
@@ -340,13 +350,24 @@ def _gather_pred_mxu(refb, sy, sx, ph, h, tw, htap: int = 1):
     return jnp.where(hx & hy, abcd, jnp.where(hx, ab, jnp.where(hy, ac, a)))
 
 
+def _field_pred_mxu(refb, c0, x0, p0, c1, x1, p1, h, tw, htap):
+    """Field-based prediction of one (h, tw) frame-coordinate tile via MXU
+    selection (affine row bases, +2-row taps, row-parity interleave —
+    same mapping as _field_pred_swar)."""
+    u0 = _gather_pred_mxu(refb, c0, x0, p0, h, tw, htap, vtap=2)
+    u1 = _gather_pred_mxu(refb, c1, x1, p1, h, tw, htap, vtap=2)
+    par = jax.lax.broadcasted_iota(jnp.int32, u0.shape, 0) & 1
+    return jnp.where(par == 0, u0, u1)
+
+
 def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
-                     bidir: bool, uv: bool = False):
+                     bidir: bool, uv: bool = False, field: bool = False):
     tw = 2 * w if uv else w
     htap = 2 if uv else 1
 
-    def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
-               mode_ref, ref0, ref1, res_ref, out_ref):
+    def body(scalars, ref0, ref1, res_ref, out_ref):
+        (syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+         mode_ref, fld) = scalars
         r = pl.program_id(0)
         for j in range(rows_per_step):
             for mb in range(mbw):
@@ -354,10 +375,22 @@ def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
                 m = mode_ref[i]
                 pf = _gather_pred_mxu(ref0, syf_ref[i], sxf_ref[i],
                                       phf_ref[i], h, tw, htap)
+                if field:
+                    cf0, xf0, pf0, cf1, xf1, pf1 = fld[0]
+                    ff = _field_pred_mxu(ref0, cf0[i], xf0[i], pf0[i],
+                                         cf1[i], xf1[i], pf1[i],
+                                         h, tw, htap)
+                    pf = jnp.where((m & 8) != 0, ff, pf)
                 f = (m & 1) != 0
                 if bidir:
                     pb = _gather_pred_mxu(ref1, syb_ref[i], sxb_ref[i],
                                           phb_ref[i], h, tw, htap)
+                    if field:
+                        cb0, xb0, pb0, cb1, xb1, pb1 = fld[1]
+                        fb = _field_pred_mxu(ref1, cb0[i], xb0[i], pb0[i],
+                                             cb1[i], xb1[i], pb1[i],
+                                             h, tw, htap)
+                        pb = jnp.where((m & 8) != 0, fb, pb)
                     bk = (m & 2) != 0
                     both = (pf + pb + 1) >> 1
                     pred = jnp.where(f & bk, both,
@@ -370,6 +403,23 @@ def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
                 val = jnp.where((m & 4) != 0, val, 0)
                 out_ref[j * h:(j + 1) * h,
                         mb * tw:(mb + 1) * tw] = val.astype(jnp.uint8)
+
+    if not field:
+        def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+                   mode_ref, ref0, ref1, res_ref, out_ref):
+            body((syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+                  mode_ref, None), ref0, ref1, res_ref, out_ref)
+    else:
+        def kernel(syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+                   mode_ref,
+                   cf0, xf0, pf0, cf1, xf1, pf1,
+                   cb0, xb0, pb0, cb1, xb1, pb1,
+                   ref0, ref1, res_ref, out_ref):
+            body((syf_ref, sxf_ref, phf_ref, syb_ref, sxb_ref, phb_ref,
+                  mode_ref,
+                  ((cf0, xf0, pf0, cf1, xf1, pf1),
+                   (cb0, xb0, pb0, cb1, xb1, pb1))),
+                 ref0, ref1, res_ref, out_ref)
     return kernel
 
 
@@ -377,17 +427,21 @@ def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
                    static_argnames=("h", "w", "H", "W", "interpret",
                                     "bidir"))
 def fused_mc_recon_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
-                       sxb, phb, mode, *, h: int, w: int, H: int, W: int,
-                       interpret: bool = False, bidir: bool = True):
+                       sxb, phb, mode, fld_f=None, fld_b=None, *, h: int,
+                       w: int, H: int, W: int, interpret: bool = False,
+                       bidir: bool = True):
     """MXU-selection variant of fused_mc_recon; refs are
-    pad_ref_plane(...).astype(bfloat16)."""
+    pad_ref_plane(...).astype(bfloat16) (field=True padding when fld_f is
+    given).  fld_f/fld_b: per-direction (C0, sx0, ph0, C1, sx1, ph1)
+    6-tuples from mc_field_meta — mode bit 8 selects field prediction."""
     mbw = W // w
     band = 16 if (16 % h == 0 and H % 16 == 0) else h
     rows_per_step = band // h
     grid = H // band
-    kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir)
+    field = fld_f is not None
+    kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir, field=field)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=19 if field else 7,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(ref0_bf.shape, lambda r, *_: (0, 0),
@@ -400,31 +454,36 @@ def fused_mc_recon_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
         out_specs=pl.BlockSpec((band, W), lambda r, *_: (r, 0),
                                memory_space=pltpu.VMEM),
     )
+    fld = (*fld_f, *fld_b) if field else ()
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.uint8),
         interpret=interpret,
-    )(syf, sxf, phf, syb, sxb, phb, mode, ref0_bf, ref1_bf, res_plane)
+    )(syf, sxf, phf, syb, sxb, phb, mode, *fld,
+      ref0_bf, ref1_bf, res_plane)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "H", "W", "interpret",
                                     "bidir"))
 def fused_mc_recon_uv_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
-                          sxb, phb, mode, *, h: int, w: int, H: int,
-                          W: int, interpret: bool = False,
-                          bidir: bool = True):
+                          sxb, phb, mode, fld_f=None, fld_b=None, *,
+                          h: int, w: int, H: int, W: int,
+                          interpret: bool = False, bidir: bool = True):
     """MXU-selection variant of fused_mc_recon_uv: both chroma planes in
     one pass over the column-interleaved (H, 2W) layout; refs are
-    pad_ref_plane_uv(...).astype(bfloat16); sx doubled by the caller."""
+    pad_ref_plane_uv(...).astype(bfloat16); sx (incl. the field tuples')
+    doubled by the caller."""
     mbw = W // w
     band = 16 if (16 % h == 0 and H % 16 == 0) else h
     rows_per_step = band // h
     grid = H // band
-    kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir, uv=True)
+    field = fld_f is not None
+    kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir, uv=True,
+                              field=field)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=19 if field else 7,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(ref0_bf.shape, lambda r, *_: (0, 0),
@@ -437,12 +496,14 @@ def fused_mc_recon_uv_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
         out_specs=pl.BlockSpec((band, 2 * W), lambda r, *_: (r, 0),
                                memory_space=pltpu.VMEM),
     )
+    fld = (*fld_f, *fld_b) if field else ()
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, 2 * W), jnp.uint8),
         interpret=interpret,
-    )(syf, sxf, phf, syb, sxb, phb, mode, ref0_bf, ref1_bf, res_plane)
+    )(syf, sxf, phf, syb, sxb, phb, mode, *fld,
+      ref0_bf, ref1_bf, res_plane)
 
 
 # ----------------------------------------------------------------------

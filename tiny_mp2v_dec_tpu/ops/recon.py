@@ -260,8 +260,9 @@ class DeviceRecon:
         # with a field-prediction path, so field-support recons default
         # to it rather than falling off the kernel entirely.
         impl = mc_impl if mc_impl is not None else _DEFAULT_MC_IMPL
-        if field_support and mc_impl is None:
-            impl = "swar"
+        if field_support and impl == "roll":
+            # the roll kernel has no field path; mxu (default) and swar do
+            impl = "mxu" if mc_impl is None else impl
         self.mc_impl = impl
         # The swar kernel also covers field-based prediction (affine
         # row-base gathers, mc_pallas._field_pred_swar); the roll kernel
@@ -271,7 +272,7 @@ class DeviceRecon:
         if use_pallas_mc is None:
             use_pallas_mc = on_tpu
         self.use_pallas_mc = use_pallas_mc and (
-            not field_support or self.mc_impl == "swar")
+            not field_support or self.mc_impl in ("swar", "mxu"))
         self.pallas_interpret = pallas_interpret
 
         xs, ys, n_cb = CHROMA_INFO[geom.chroma_format]
@@ -433,7 +434,7 @@ class DeviceRecon:
         cf = geom.chroma_format
         xs, ys, _ = CHROMA_INFO[cf]
         swar = self.mc_impl == "swar"
-        field = self.field_support and swar
+        field = self.field_support and self.mc_impl in ("swar", "mxu")
         mode = fwd.astype(jnp.int32) + 2 * bwd.astype(jnp.int32)
         if not swar:
             mode = mode + 4 * coded.astype(jnp.int32)
@@ -452,11 +453,11 @@ class DeviceRecon:
             uv_fn = fused_mc_recon_uv_mxu if mxu else fused_mc_recon_uv
 
             def prep(p, h_, w_):
-                pp = pad_ref_plane(p, h_, w_)
+                pp = pad_ref_plane(p, h_, w_, field)
                 return pp.astype(jnp.bfloat16) if mxu else pp
 
             def prep_uv(u, v, h_, w_):
-                pp = pad_ref_plane_uv(u, v, h_, w_)
+                pp = pad_ref_plane_uv(u, v, h_, w_, field)
                 return pp.astype(jnp.bfloat16) if mxu else pp
 
             h, w = 16, 16
@@ -467,9 +468,16 @@ class DeviceRecon:
                                     mv[:, 0, 0, 1], H, W, h, w)
             syb, sxb, phb = mc_meta(pos_y, pos_x, mv[:, 0, 1, 0],
                                     mv[:, 0, 1, 1], H, W, h, w)
+            if field:
+                yfld_f = mc_field_meta(pos_y, pos_x, mv[:, :, 0],
+                                       mvfs[:, :, 0], H, W, h, w)
+                yfld_b = mc_field_meta(pos_y, pos_x, mv[:, :, 1],
+                                       mvfs[:, :, 1], H, W, h, w)
+            else:
+                yfld_f = yfld_b = None
             luma = luma_fn(
                 prep(refs[0][0], h, w), prep(refs[0][1], h, w), res_y,
-                syf, sxf, phf, syb, sxb, phb, mode,
+                syf, sxf, phf, syb, sxb, phb, mode, yfld_f, yfld_b,
                 h=h, w=w, H=H, W=W, interpret=self.pallas_interpret,
                 bidir=bidir)
             ch_, cw_ = 16 >> ys, 16 >> xs
@@ -483,11 +491,23 @@ class DeviceRecon:
                                        mvc[:, 0, 0, 1], Hc, Wc, ch_, cw_)
             csyb, csxb, cphb = mc_meta(cpos_y, cpos_x, mvc[:, 0, 1, 0],
                                        mvc[:, 0, 1, 1], Hc, Wc, ch_, cw_)
+            if field:
+                def dbl(t):
+                    c0, x0, p0_, c1, x1, p1_ = t
+                    return (c0, 2 * x0, p0_, c1, 2 * x1, p1_)
+                cfld_f = dbl(mc_field_meta(cpos_y, cpos_x, mvc[:, :, 0],
+                                           mvfs[:, :, 0], Hc, Wc,
+                                           ch_, cw_))
+                cfld_b = dbl(mc_field_meta(cpos_y, cpos_x, mvc[:, :, 1],
+                                           mvfs[:, :, 1], Hc, Wc,
+                                           ch_, cw_))
+            else:
+                cfld_f = cfld_b = None
             uv = uv_fn(
                 prep_uv(refs[1][0], refs[2][0], ch_, cw_),
                 prep_uv(refs[1][1], refs[2][1], ch_, cw_),
                 res_uv, csyf, 2 * csxf, cphf, csyb, 2 * csxb, cphb, mode,
-                h=ch_, w=cw_, H=Hc, W=Wc,
+                cfld_f, cfld_b, h=ch_, w=cw_, H=Hc, W=Wc,
                 interpret=self.pallas_interpret, bidir=bidir)
             return (luma, uv[:, 0::2], uv[:, 1::2])
         planes = []
