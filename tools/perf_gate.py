@@ -29,8 +29,8 @@ def main():
     from tbench import chain_time
     from tiny_mp2v_dec_tpu.headers import CHROMA_420
     from tiny_mp2v_dec_tpu.ops.mc import mc_bidir_tiles, mc_unidir_tiles, pad_for_mc
-    from tiny_mp2v_dec_tpu.ops.mc_pallas import (fused_mc_recon, mc_meta,
-                                                 pad_ref_plane)
+    from tiny_mp2v_dec_tpu.ops.mc_pallas import (fused_mc_recon_mxu,
+                                                 mc_meta, pad_ref_plane)
     from tiny_mp2v_dec_tpu.ops.recon import DeviceRecon
     from tiny_mp2v_dec_tpu.tokenizer.types import PictureGeometry
 
@@ -45,13 +45,14 @@ def main():
     pos_y, pos_x = recon._pos[0]
     mode = jnp.full((n,), 7, jnp.int32)
 
-    # Pallas fused MC+recon (production TPU path)
-    p0 = jax.jit(lambda p: pad_ref_plane(p, 16, 16))(plane)
+    # Pallas fused MC+recon (production TPU path: MXU window selection)
+    p0 = jax.jit(lambda p: pad_ref_plane(p, 16, 16).astype(
+        jnp.bfloat16))(plane)
     syf, sxf, phf = mc_meta(pos_y, pos_x, mv[:, 0], mv[:, 1], H_, W_, 16, 16)
 
     def pallas_op(pp, r, sy, sx, ph, m, salt):
-        return fused_mc_recon(pp, pp, r, sy, sx + salt, ph, sy, sx, ph, m,
-                              h=16, w=16, H=H_, W=W_)
+        return fused_mc_recon_mxu(pp, pp, r, sy, sx + salt, ph, sy, sx,
+                                  ph, m, h=16, w=16, H=H_, W=W_)
 
     t_pallas = chain_time(pallas_op, (p0, res_plane, syf, sxf, phf, mode), n=16)
 
