@@ -5,19 +5,39 @@ reference: test/gtest/threads/threads_test.cpp:14-15,73-74).
 Here the schedulable units are GOP chunks on the reconstruction worker
 thread plus the display-reorder FIFO; the hazards are deadlock (worker
 join vs staging-slot guards), state leakage across reset(), and
-back-pressure starvation.  Everything is bounded by pytest-level timeouts
-via signal-free wall-clock asserts and verified bit-exact against the
-golden decoder.
+back-pressure starvation.  Each workload runs under a WATCHDOG — a detached
+worker thread with a future timeout, the reference's CHECK_TIMEOUT
+discipline (test/gtest/threads/threads_test_common.hpp:52-61) — so a
+deadlock FAILS the test instead of hanging pytest.  Results are verified
+bit-exact against the golden decoder.
 """
+import concurrent.futures
 import time
 
 import numpy as np
+import pytest
 
 from m2v_encoder import encode_stream, random_picture
 from tiny_mp2v_dec_tpu import DecoderConfig, MP2VDecoder, headers as H
 from tiny_mp2v_dec_tpu.golden.decoder import decode_stream
 
 TIMEOUT_S = 300.0
+
+
+def _watchdog(fn, timeout=TIMEOUT_S):
+    """Run ``fn`` on a detached thread; a hang FAILS the test at ``timeout``
+    (the worker is daemonic, so a wedged decode doesn't block interpreter
+    exit either)."""
+    ex = concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="stress-watchdog")
+    try:
+        fut = ex.submit(fn)
+        try:
+            return fut.result(timeout=timeout)
+        except concurrent.futures.TimeoutError:
+            pytest.fail(f"deadlock: workload exceeded {timeout:.0f}s watchdog")
+    finally:
+        ex.shutdown(wait=False)
 
 
 def _long_stream(n_pics, seed=9, mbw=2, mbh=2):
@@ -40,9 +60,7 @@ def test_many_chunks_through_worker_bitexact():
     data = _long_stream(96)
     exp = decode_stream(data)
     dec = MP2VDecoder(DecoderConfig(gop_chunk=4))
-    t0 = time.perf_counter()
-    got = dec.decode(data)
-    assert time.perf_counter() - t0 < TIMEOUT_S
+    got = _watchdog(lambda: dec.decode(data))
     assert len(got) == len(exp) == 96
     for a, b in zip(exp, got):
         np.testing.assert_array_equal(a.y, b.y)
@@ -57,12 +75,15 @@ def test_repeated_flush_reset_cycles():
     data = _long_stream(8, seed=21)
     exp = decode_stream(data)
     dec = MP2VDecoder(DecoderConfig(gop_chunk=4))
-    t0 = time.perf_counter()
-    for i in range(100):
-        got = dec.decode(data)
-        assert len(got) == 8, f"cycle {i}"
-        dec.reset()
-    assert time.perf_counter() - t0 < TIMEOUT_S
+
+    def run():
+        for i in range(100):
+            got = dec.decode(data)
+            assert len(got) == 8, f"cycle {i}"
+            dec.reset()
+        return got
+
+    got = _watchdog(run)
     for a, b in zip(exp, got):
         np.testing.assert_array_equal(a.y, b.y)
 
@@ -73,7 +94,7 @@ def test_small_pool_backpressure():
     data = _long_stream(24, seed=33)
     exp = decode_stream(data)
     dec = MP2VDecoder(DecoderConfig(gop_chunk=4, pictures_pool_size=1))
-    got = dec.decode(data)
+    got = _watchdog(lambda: dec.decode(data))
     assert len(got) == len(exp)
     for a, b in zip(exp, got):
         np.testing.assert_array_equal(a.y, b.y)

@@ -200,9 +200,12 @@ _DEFAULT_MC_IMPL = _os.environ.get("MP2V_MC_IMPL", "mxu")
 
 # The tunneled transport is per-message latency-bound: two concurrent
 # upload streams measured ~5x the serial h2d bandwidth, so the chunk blob
-# uploads as two halves on a shared 2-thread pool (the jit concatenates
-# them on device for free).
+# uploads as two halves on a dedicated 2-thread pool (the jit concatenates
+# them on device for free).  Device->host frame delivery gets its OWN pool:
+# a large frame pull queued ahead of a chunk upload would otherwise block
+# both workers and stall dispatch behind output consumption.
 _UPLOAD_POOL = None
+_FETCH_POOL = None
 
 
 def _upload_pool():
@@ -211,6 +214,32 @@ def _upload_pool():
         from concurrent.futures import ThreadPoolExecutor
         _UPLOAD_POOL = ThreadPoolExecutor(max_workers=2)
     return _UPLOAD_POOL
+
+
+def _fetch_pool():
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _FETCH_POOL = ThreadPoolExecutor(max_workers=2)
+    return _FETCH_POOL
+
+
+def _slot_guard(outputs, uploaded):
+    """What must be ready before a host staging slot may be rewritten.
+
+    * cpu: the JAX CPU client ZERO-COPY ALIASES sufficiently small/aligned
+      numpy arrays, so the *consuming computation's outputs* guard the slot.
+    * tpu: jnp.asarray/device_put snapshot the host buffer synchronously
+      (verified on the tunneled TPU client, 8/8 mutation trials) — no guard.
+    * anything else (gpu, plugins): not a verified-snapshot backend; hold
+      the uploaded device arrays so slot reuse waits for the h2d copy.
+    """
+    be = jax.default_backend()
+    if be == "cpu":
+        return outputs
+    if be == "tpu":
+        return None
+    return uploaded
 
 
 def _split_point(total: int) -> int:
@@ -629,12 +658,9 @@ class DeviceRecon:
             (cblk, cidx, meta), slot = self._upload(tokens)
             out = self._fn_packed(cblk, cidx, meta, *ref0, *ref1,
                                   bidir=bool(tokens.bwd.any()))
-            # Slot guard (see __init__): on CPU the computation may read the
-            # staging memory directly (zero-copy aliasing) so the guard is
-            # the computation's outputs; on device backends the upload
-            # snapshots synchronously (verified) — no guard needed.
-            self._stage_busy[slot] = out if jax.default_backend() == "cpu" \
-                else None
+            # Slot guard policy: _slot_guard (cpu aliases staging memory,
+            # tpu snapshots synchronously, others wait on the upload).
+            self._stage_busy[slot] = _slot_guard(out, (cblk, cidx, meta))
         return out
 
 
@@ -731,6 +757,16 @@ class GopRecon:
         # prepare() fall back to a larger already-compiled bucket and
         # background-compile the exact one (no mid-stream compile stall)
         self._compiled: set = set()
+        # When this instance is pure transport (StreamBatchRecon /
+        # RowShardedRecon run their own jitted programs over the blob), the
+        # external dispatcher registers the program that actually needs
+        # warming here; ensure_compiled then warms THAT instead of self._fn.
+        self.compile_hook = None
+        # background-compile outcomes are observable (a permanently failing
+        # exact-bucket compile would otherwise silently decode on oversized
+        # buckets forever); the runtime folds these into decoder.stats
+        self.stats = {"bucket_fallbacks": 0, "bg_compiles": 0,
+                      "bg_compile_fails": 0}
 
     def _layout(self, cap_pairs: int, cap_k: int):
         """Byte offsets of the seven sections inside the single
@@ -964,6 +1000,7 @@ class GopRecon:
                 import threading
                 threading.Thread(target=self._ensure_quiet, args=exact,
                                  daemon=True).start()
+                self.stats["bucket_fallbacks"] += 1
                 cap_pairs, cap_k = min(
                     fits, key=lambda c: self._layout(c[0], c[1])[-1])
         with self._cv:
@@ -1019,16 +1056,12 @@ class GopRecon:
             up = _upload_split(blob)
             out = self._fn(*up, *ref0, *ref1,
                            cap_pairs=cap_pairs, cap_k=cap_k)
-            # Slot guard: on CPU the computation may read the staging
-            # memory directly (zero-copy aliasing — see
-            # DeviceRecon.__init__) so the guard is the outputs; on
-            # device backends jnp.asarray SNAPSHOTS the host data before
-            # returning (verified on the axon TPU client: mutating the
-            # source right after the call never reaches the device), so
-            # the slot is free as soon as the upload call returned — no
-            # guard, the cv sequencing alone paces slot reuse.
-            self._stage_busy[key] = out if jax.default_backend() == "cpu" \
-                else None
+            # Slot guard policy: _slot_guard (cpu aliases the staging
+            # memory so the outputs guard it; tpu uploads snapshot
+            # synchronously — verified on the axon client — so the cv
+            # sequencing alone paces reuse; other backends wait on the
+            # uploaded halves).
+            self._stage_busy[key] = _slot_guard(out, up)
             self._compiled.add((cap_pairs, cap_k))
         finally:
             # release the staging-slot bound even on failure (a stuck
@@ -1053,22 +1086,40 @@ class GopRecon:
             self._cv.notify_all()
 
     def _ensure_quiet(self, cap_pairs: int, cap_k: int):
+        """Background-thread wrapper around ensure_compiled: failures are
+        non-fatal (the stream keeps decoding on the oversized fallback
+        bucket) but COUNTED — a permanently failing exact-bucket compile
+        shows up in decoder.stats instead of silently padding forever."""
         try:
             self.ensure_compiled(cap_pairs, cap_k)
+            self.stats["bg_compiles"] += 1
         except Exception:
-            pass
+            self.stats["bg_compile_fails"] += 1
 
     def ensure_compiled(self, cap_pairs: int, cap_k: int):
         """Compile the (cap_pairs, cap_k) shape variant if unseen — called
         from a background thread on first sight of a new bucket so a
         mid-stream density change doesn't stall the pipeline on a
-        (minutes-long, on tunneled platforms) compile."""
+        (minutes-long, on tunneled platforms) compile.
+
+        Compilation only (lower().compile()) — no device execution
+        concurrent with the real pipeline.  When an external dispatcher
+        (StreamBatchRecon/RowShardedRecon) registered a compile_hook, warm
+        ITS program — that is what will actually run — instead of the
+        GopRecon scan."""
+        if self.compile_hook is not None:
+            self.compile_hook(cap_pairs, cap_k)
+            self._compiled.add((cap_pairs, cap_k))
+            return
         total = self._layout(cap_pairs, cap_k)[-1]
         half = _split_point(total)
-        blob_a = jnp.zeros(half, jnp.uint8)
-        blob_b = jnp.zeros(total - half, jnp.uint8)
-        zeros = self.inner.zero_planes()
-        out = self._fn(blob_a, blob_b, *zeros, *zeros,
-                       cap_pairs=cap_pairs, cap_k=cap_k)
-        jax.block_until_ready(out)
+        sds = jax.ShapeDtypeStruct
+        blob_a = sds((half,), jnp.uint8)
+        blob_b = sds((total - half,), jnp.uint8)
+        g = self.geom
+        planes = (sds(g.luma_padded, jnp.uint8),
+                  sds(g.chroma_padded, jnp.uint8),
+                  sds(g.chroma_padded, jnp.uint8))
+        self._fn.lower(blob_a, blob_b, *planes, *planes,
+                       cap_pairs=cap_pairs, cap_k=cap_k).compile()
         self._compiled.add((cap_pairs, cap_k))

@@ -90,7 +90,11 @@ def split_gops(data: bytes) -> List[GopChunk]:
         off = offs[i]
         code = data[off + 3]
         if code == H.SEQUENCE_HEADER_CODE:
-            if cur_pics > 0 and not qm_live and closed_at(i):
+            # A cut at a sequence header is legal even while a downloaded
+            # quant matrix is live: the new chunk's first event is this
+            # very header, which resets the matrices anyway (6.3.11) —
+            # only GOP-header cuts need the qm_live guard below.
+            if cur_pics > 0 and closed_at(i):
                 close(off)
             qm_live = False   # 6.3.11: sequence header resets matrices
             j = i + 1

@@ -27,8 +27,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.recon import DeviceRecon
+from ..ops.recon import DeviceRecon, _slot_guard
 from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureTokens
+
+
+def _plane_sds(geom: PictureGeometry, lead=()):
+    """ShapeDtypeStructs of the (y, u, v) padded planes, optionally with a
+    leading (stream) axis — used to warm sharded programs compile-only."""
+    sds = jax.ShapeDtypeStruct
+    return tuple(sds(tuple(lead) + s, jnp.uint8) for s in
+                 (geom.luma_padded, geom.chroma_padded, geom.chroma_padded))
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -110,6 +118,15 @@ class RowShardedRecon:
         self._tok = tok
         self._rows = rows
         self._fns = {}   # (cap_pairs, cap_k) -> jitted fn
+        # background bucket compiles must warm THIS program, not the
+        # transport's unused scan (ops/recon.GopRecon.ensure_compiled)
+        self.transport.compile_hook = self._compile_for
+
+    def _compile_for(self, cap_pairs: int, cap_k: int) -> None:
+        total = self.transport._layout(cap_pairs, cap_k)[-1]
+        blob = jax.ShapeDtypeStruct((total,), jnp.uint8)
+        planes = _plane_sds(self.geom)
+        self._fn_for(cap_pairs, cap_k).lower(blob, *planes, *planes).compile()
 
     def _fn_for(self, cap_pairs: int, cap_k: int):
         key = (cap_pairs, cap_k)
@@ -156,8 +173,7 @@ class RowShardedRecon:
         key, blob = staged
         up = jax.device_put(blob, self._rep)
         out = self._fn_for(key[0], key[1])(up, *ref0, *ref1)
-        self.transport.mark_dispatched(
-            staged, out[0] if jax.default_backend() == "cpu" else None)
+        self.transport.mark_dispatched(staged, _slot_guard(out[0], up))
         return out
 
 
@@ -195,6 +211,13 @@ class StreamBatchRecon:
         self._rep = NamedSharding(mesh, P())
         self._fns = {}   # (cap_pairs, cap_k) -> jitted step (pjit cannot
         #                  mix in_shardings with static kwargs)
+        self.transport.compile_hook = self._compile_for
+
+    def _compile_for(self, cap_pairs: int, cap_k: int) -> None:
+        total = self.transport._layout(cap_pairs, cap_k)[-1]
+        blob = jax.ShapeDtypeStruct((total,), jnp.uint8)
+        planes = _plane_sds(self.geom, lead=(self.n_streams,))
+        self._fn_for(cap_pairs, cap_k).lower(blob, *planes, *planes).compile()
 
     def _fn_for(self, cap_pairs: int, cap_k: int):
         key = (cap_pairs, cap_k)
@@ -266,8 +289,7 @@ class StreamBatchRecon:
         refs1 = tuple(jax.device_put(p, self._st) for p in refs1)
         up = jax.device_put(blob, self._rep)
         out = self._fn_for(cap_pairs, cap_k)(up, *refs0, *refs1)
-        self.transport.mark_dispatched(
-            staged, out[0] if jax.default_backend() == "cpu" else None)
+        self.transport.mark_dispatched(staged, _slot_guard(out[0], up))
         return out[0:3], out[3:6], out[6:9]
 
     def __call__(self, tokens_list, refs0=None, refs1=None):

@@ -64,6 +64,12 @@ class DecoderConfig:
     # reference's worker threading (reference: decoder.cpp:381-406).
     mesh: Optional[str] = None
     mesh_devices: int = 0         # 0 = all local devices
+    # "raise": abort the decode on the first malformed slice; "drop_slice":
+    # error containment — the bad slice's parsed prefix is kept, every
+    # other slice/picture decodes normally, stats["bad_slices"] counts the
+    # drops (the reference silently decodes garbage instead,
+    # reference: src/core/mp2v_vlc_dec.hpp:69)
+    on_error: str = "raise"
 
 
 def _fetch_concurrent(packed):
@@ -72,10 +78,10 @@ def _fetch_concurrent(packed):
     ~5x the serial bandwidth; on PCIe hosts this is a harmless split)."""
     if packed.ndim < 1 or packed.shape[0] < 2:
         return np.asarray(packed)
-    from ..ops.recon import _upload_pool
+    from ..ops.recon import _fetch_pool
     half = packed.shape[0] // 2
-    fa = _upload_pool().submit(np.asarray, packed[:half])
-    fb = _upload_pool().submit(np.asarray, packed[half:])
+    fa = _fetch_pool().submit(np.asarray, packed[:half])
+    fb = _fetch_pool().submit(np.asarray, packed[half:])
     return np.concatenate([fa.result(), fb.result()])
 
 
@@ -148,8 +154,8 @@ class PlanesFrame:
 
     def _fetch(self):
         if self._host is None:
-            from ..ops.recon import _upload_pool
-            self._host = tuple(_upload_pool().map(np.asarray, self._planes))
+            from ..ops.recon import _fetch_pool
+            self._host = tuple(_fetch_pool().map(np.asarray, self._planes))
         return self._host
 
     _flat = _fetch  # uniform materialization hook (see MP2VDecoder._drain)
@@ -189,7 +195,8 @@ class MP2VDecoder:
                  renderer: Optional[Callable[[DecodedFrame], None]] = None):
         self.config = config
         self.renderer = renderer
-        self.tokenize_picture = get_tokenizer(config.num_threads)
+        self.tokenize_picture = get_tokenizer(config.num_threads,
+                                              config.on_error)
         self._recons = {}
         self.reset()
 
@@ -214,12 +221,21 @@ class MP2VDecoder:
         self.user_data: List[bytes] = []  # reference: decoder.cpp:194-200
         self._chunk: List[tuple] = []  # (tokens, geom, ph) awaiting batch
         self._frames: List[DecodedFrame] = []
+        self._recon_snaps = {}         # id(recon) -> last stats snapshot
         self.stats = {"pictures": 0, "tokenize_s": 0.0, "fill_s": 0.0,
                       "device_s": 0.0, "output_s": 0.0,
                       # which MC path pictures took (the field fallback was
                       # a silent data-dependent perf cliff before r4)
                       "mc_pallas_pics": 0, "mc_pallas_field_pics": 0,
-                      "mc_xla_pics": 0}
+                      "mc_xla_pics": 0,
+                      # transport shape-variant observability: a permanently
+                      # failing background compile (bg_compile_fails keeps
+                      # rising while bucket_fallbacks does too) means the
+                      # stream is stuck decoding on oversized buckets
+                      "bucket_fallbacks": 0, "bg_compiles": 0,
+                      "bg_compile_fails": 0,
+                      # error-containment counter (on_error="drop_slice")
+                      "bad_slices": 0}
 
     # ------------------------------------------------------------------
     def _count_mc(self, inner, n: int) -> None:
@@ -531,6 +547,14 @@ class MP2VDecoder:
         self._refs = [r0, r1]
         self.stats["device_s"] += time.perf_counter() - t0
         self._count_mc(recon.inner, len(batch))
+        # transport counters are per (shared) GopRecon instance and
+        # cumulative — fold in the delta since this decoder last looked
+        snap = self._recon_snaps.setdefault(
+            id(recon), dict.fromkeys(
+                ("bucket_fallbacks", "bg_compiles", "bg_compile_fails"), 0))
+        for k in snap:
+            self.stats[k] += recon.stats[k] - snap[k]
+            snap[k] = recon.stats[k]
 
         if self.config.output_host:
             try:
@@ -577,6 +601,7 @@ class MP2VDecoder:
         t0 = time.perf_counter()
         tokens = self.tokenize_picture(data, cur["slices"], params, geom)
         self.stats["pictures"] += 1
+        self.stats["bad_slices"] += tokens.bad_slices
         self.stats["tokenize_s"] += time.perf_counter() - t0
         return tokens, geom, ph
 

@@ -340,7 +340,8 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
 // Slice tokenizer (mirrors python_tok.tokenize_slice)
 // ---------------------------------------------------------------------------
 static int tokenize_slice(const uint8_t* data, size_t len, uint64_t bit_pos,
-                          int start_code, const PicParams& p, TokenOut& out) {
+                          int start_code, const PicParams& p, TokenOut& out,
+                          int tolerate = 0) {
   BitReader r(data, len, bit_pos);
   int err = 0;
 
@@ -369,7 +370,13 @@ static int tokenize_slice(const uint8_t* data, size_t len, uint64_t bit_pos,
   const int n_cb = cf == 1 ? 1 : (cf == 2 ? 2 : 4);
   const int n_blocks = 4 + 2 * n_cb;
   const int* slot = cf == 1 ? kSlot420 : (cf == 2 ? kSlot422 : kSlot444);
-  const int n_mb_total = p.mb_width * p.mb_height;
+  // In tolerant mode a slice's writes are confined to its own MB row
+  // (13818-2 6.1.2: a slice shall not span macroblock rows), so a
+  // corrupted address increment cannot clobber MBs another slice thread
+  // already wrote; strict mode keeps the whole-picture bound (the error
+  // aborts the picture anyway).
+  const int n_mb_total = tolerate ? (mb_row + 1) * p.mb_width
+                                  : p.mb_width * p.mb_height;
   int64_t mb_addr = int64_t(mb_row) * p.mb_width - 1;
 
   bool first_mb = true;
@@ -572,24 +579,38 @@ static int tokenize_slice(const uint8_t* data, size_t len, uint64_t bit_pos,
 // ---------------------------------------------------------------------------
 // Public entry point
 // ---------------------------------------------------------------------------
+// tolerate=0: first slice error aborts the picture (return its rc).
+// tolerate=1: per-slice error containment — a bad slice keeps whatever it
+// parsed before the error (the reference likewise keeps decoding past
+// garbage, mp2v_vlc_dec.hpp:69, but emits corrupt pixels; here the rest of
+// the picture is untouched), *bad_slices counts drops, and only
+// coefficient-capacity exhaustion (rc 5, a structural/global condition)
+// stays fatal.
 extern "C" int mp2v_tokenize_picture(
     const uint8_t* data, size_t len, const uint64_t* slice_bitpos,
     const int32_t* slice_codes, int n_slices, const PicParams* params,
-    TokenOut* out, int num_threads) {
+    TokenOut* out, int num_threads, int tolerate, int32_t* bad_slices) {
   tables();  // ensure LUTs are built before threads start
+  if (bad_slices) *bad_slices = 0;
   if (num_threads <= 0)
     num_threads = int(std::thread::hardware_concurrency());
   if (num_threads > n_slices) num_threads = n_slices;
   if (num_threads <= 1) {
+    int bad = 0;
     for (int i = 0; i < n_slices; ++i) {
       int rc = tokenize_slice(data, len, slice_bitpos[i], slice_codes[i],
-                              *params, *out);
-      if (rc) return rc;
+                              *params, *out, tolerate);
+      if (rc) {
+        if (!tolerate || rc == 5) return rc;
+        ++bad;
+      }
     }
+    if (bad_slices) *bad_slices = bad;
     return 0;
   }
   std::atomic<int> next{0};
   std::atomic<int> error{0};
+  std::atomic<int> bad{0};
   std::vector<std::thread> pool;
   for (int t = 0; t < num_threads; ++t) {
     pool.emplace_back([&] {
@@ -597,12 +618,16 @@ extern "C" int mp2v_tokenize_picture(
         int i = next.fetch_add(1);
         if (i >= n_slices || error.load()) break;
         int rc = tokenize_slice(data, len, slice_bitpos[i], slice_codes[i],
-                                *params, *out);
-        if (rc) error.store(rc);
+                                *params, *out, tolerate);
+        if (rc) {
+          if (!tolerate || rc == 5) error.store(rc);
+          else bad.fetch_add(1);
+        }
       }
     });
   }
   for (auto& th : pool) th.join();
+  if (bad_slices) *bad_slices = bad.load();
   return error.load();
 }
 
@@ -642,4 +667,4 @@ extern "C" long long mp2v_pack_pairs(const int16_t* rows, int32_t k,
   return p;
 }
 
-extern "C" int mp2v_tokenizer_abi_version() { return 4; }
+extern "C" int mp2v_tokenizer_abi_version() { return 5; }

@@ -58,7 +58,7 @@ def _load():
         lib.mp2v_tokenize_picture.argtypes = [
             C.c_char_p, C.c_size_t, C.POINTER(C.c_uint64),
             C.POINTER(C.c_int32), C.c_int, C.POINTER(_PicParams),
-            C.POINTER(_TokenOut), C.c_int]
+            C.POINTER(_TokenOut), C.c_int, C.c_int, C.POINTER(C.c_int32)]
         lib.mp2v_count_pairs.restype = C.c_longlong
         lib.mp2v_count_pairs.argtypes = [
             C.POINTER(C.c_int16), C.c_int32, C.POINTER(C.c_uint8)]
@@ -66,7 +66,7 @@ def _load():
         lib.mp2v_pack_pairs.argtypes = [
             C.POINTER(C.c_int16), C.c_int32, C.POINTER(C.c_uint8),
             C.POINTER(C.c_int16)]
-        assert lib.mp2v_tokenizer_abi_version() == 4
+        assert lib.mp2v_tokenizer_abi_version() == 5
         _lib = lib
     return _lib
 
@@ -98,8 +98,9 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(C.POINTER(ctype))
 
 
-def native_tokenizer(num_threads: int = 0):
+def native_tokenizer(num_threads: int = 0, on_error: str = "raise"):
     lib = _load()
+    tolerate = 1 if on_error == "drop_slice" else 0
 
     def tokenize(data: bytes, slices, params: PictureParams,
                  geom: PictureGeometry) -> PictureTokens:
@@ -144,14 +145,17 @@ def native_tokenizer(num_threads: int = 0):
             mvfs=_ptr(tokens.mvfs, C.c_uint8),
             cblk_capacity=tokens.cblk.shape[0],
         )
+        bad = np.zeros(1, np.int32)
         rc = lib.mp2v_tokenize_picture(
             data, len(data), _ptr(bitpos, C.c_uint64), _ptr(codes, C.c_int32),
-            len(slices), C.byref(p), C.byref(o), num_threads)
+            len(slices), C.byref(p), C.byref(o), num_threads, tolerate,
+            bad.ctypes.data_as(C.POINTER(C.c_int32)))
         if rc != 0:
             raise ValueError(
                 f"native tokenizer error {rc} (invalid VLC / run overflow / "
                 f"bad MB address / coefficient capacity exceeded)")
         tokens.n_coded_blocks = int(count[0])
+        tokens.bad_slices = int(bad[0])
         return tokens
 
     return tokenize

@@ -113,6 +113,10 @@ class PictureTokens:
     mvfs: np.ndarray        # (n_mb, 2, 2) uint8 motion_vertical_field_select
     coded: np.ndarray       # (n_mb,) bool — any residual present / mb coded in slice
     n_coded_blocks: int = 0
+    # slices dropped by error containment (tokenizer on_error="drop_slice");
+    # their successfully parsed prefix is retained, the rest of the picture
+    # is unaffected
+    bad_slices: int = 0
     _dense: Optional[np.ndarray] = field(default=None, repr=False)
 
     @classmethod
