@@ -182,3 +182,20 @@ def test_pair_packers_parity_and_edges():
         nzr, nzc = np.nonzero(rows)
         assert np.array_equal(pos[:n], nzc.astype(np.uint8))
         assert np.array_equal(val[:n], rows[nzr, nzc])
+
+
+def test_row_nnz_matches_counting_scan():
+    """row_nnz produced during the parse must equal a counting scan of the
+    emitted coefficient rows (the chunk transport builds the device pair
+    stream from it)."""
+    rng = np.random.default_rng(4242)
+    for pct in (H.PCT_I, H.PCT_P, H.PCT_B):
+        pics = [random_picture(rng, 6, 4, H.CHROMA_420, H.PCT_I),
+                random_picture(rng, 6, 4, H.CHROMA_420, pct)]
+        data = encode_stream(96, 64, H.CHROMA_420, pics)
+        for tok in _native_tokens(data):
+            k = tok.n_coded_blocks
+            assert tok.row_nnz is not None and k > 0
+            np.testing.assert_array_equal(
+                tok.row_nnz[:k],
+                np.count_nonzero(tok.cblk[:k], axis=1).astype(np.uint8))

@@ -984,8 +984,14 @@ class GopRecon:
         off = 0
         for tok in tokens_list:
             k = tok.n_coded_blocks
-            total_nz += count_pairs(np.ascontiguousarray(tok.cblk[:k]),
-                                    nnz[off:off + k])
+            if tok.row_nnz is not None:
+                # per-row nonzero counts were produced DURING the native
+                # parse — no counting re-read of the coefficient rows
+                nnz[off:off + k] = tok.row_nnz[:k]
+                total_nz += int(tok.row_nnz[:k].sum(dtype=np.int64))
+            else:
+                total_nz += count_pairs(np.ascontiguousarray(tok.cblk[:k]),
+                                        nnz[off:off + k])
             off += k
         cap_pairs = _ladder(total_nz + 1, lo=4096)
         # never stall the pipeline on a new shape variant: pick the

@@ -179,6 +179,10 @@ struct TokenOut {
   // (e.g. duplicated slice vertical positions re-coding the same MB rows),
   // not a buffer overrun
   int32_t cblk_capacity;
+  // per claimed row: number of nonzero coefficients, filled DURING the
+  // parse — the pair-packing fill stage then needs no counting re-read of
+  // the (cold by then) coefficient rows
+  uint8_t* row_nnz;
 };
 }  // extern "C"
 
@@ -249,9 +253,10 @@ static void parse_motion_vector(BitReader& r, SliceState& st, int r_idx, int s,
   }
 }
 
-static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
-                        int16_t* out64, bool intra, bool luma, int chroma_idx,
-                        bool use_chroma_w, int* err) {
+static int parse_block(BitReader& r, const PicParams& p, SliceState& st,
+                       int16_t* out64, bool intra, bool luma, int chroma_idx,
+                       bool use_chroma_w, int* err) {
+  // returns the number of nonzero values written (the row's pair count)
   const uint8_t* scan = p.alternate_scan ? kScanRaster1 : kScanRaster0;
   // Reference-compat: chroma quant matrices (W[2]/W[3]) apply only to the
   // 4:2:2/4:4:4 extension blocks (bitstream index >= 6); the first chroma
@@ -262,6 +267,7 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
   bool use_one = p.intra_vlc_format && intra;
   const CoeffLut& clut = use_one ? tables().coeff1 : tables().coeff0;
   int parity = 0;
+  int nnz = 0;
   int i;
 
   if (intra) {
@@ -277,6 +283,7 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
     st.dc_pred[comp] += diff;
     int dc = st.dc_pred[comp] << (3 - p.intra_dc_precision);
     out64[0] = int16_t(dc);
+    nnz += int16_t(dc) != 0;
     // intra DC is excluded from the mismatch-control sum (matches the
     // reference, which accumulates parity only over parse_block output,
     // mb_decoder.cpp:74-155)
@@ -292,6 +299,7 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
       int val = (3 * W[0] * qs) >> 5;
       if (sign) val = -val;
       out64[0] = int16_t(val);
+      nnz += val != 0;
       parity += val;
       i = 1;
     }
@@ -301,7 +309,7 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
     uint32_t peek = r.peek(16);
     uint32_t packed = clut.packed[peek];
     int len = packed & 0xFF;
-    if (!len) { *err = 1; return; }
+    if (!len) { *err = 1; return nnz; }
     int run = int(packed >> 24);
     int level, sign;
     if (run == 64) { r.skip(len); break; }  // EOB
@@ -318,7 +326,7 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
       sign = int(r.read(1));
     }
     i += run;
-    if (i > 63) { *err = 2; return; }
+    if (i > 63) { *err = 2; return nnz; }
     int raster = scan[i];
     int val = intra ? ((level * W[raster] * qs) >> 4)
                     : (((2 * level + 1) * W[raster] * qs) >> 5);
@@ -329,11 +337,17 @@ static void parse_block(BitReader& r, const PicParams& p, SliceState& st,
     if (val > 2047) val = 2047;
     if (val < -2048) val = -2048;
     out64[kTranspose64[raster]] = int16_t(val);
+    nnz += val != 0;
     parity += val;
     ++i;
   }
 
-  if ((parity & 1) == 0) out64[63] ^= 1;  // mismatch control (spec 7.4.4)
+  if ((parity & 1) == 0) {  // mismatch control (spec 7.4.4)
+    int16_t before = out64[63];
+    out64[63] = before ^ 1;
+    nnz += int((before ^ 1) != 0) - int(before != 0);
+  }
+  return nnz;
 }
 
 // ---------------------------------------------------------------------------
@@ -555,17 +569,33 @@ static int tokenize_slice(const uint8_t* data, size_t len, uint64_t bit_pos,
       }
     }
 
-    // coefficient blocks
-    for (int b = 0; b < n_blocks; ++b) {
-      if (!(cbp & (1 << b))) continue;
-      bool luma = b < 4;
-      int chroma_idx = luma ? 0 : 1 + ((b - 4) & 1);
-      int32_t k = __atomic_fetch_add(out.cblk_count, 1, __ATOMIC_RELAXED);
-      if (k >= out.cblk_capacity) return 5;
-      out.cblk_idx[k] = m * n_blocks + slot[b];
-      int16_t* dst = out.cblk + (size_t)k * 64;
-      memset(dst, 0, 64 * sizeof(int16_t));
-      parse_block(r, p, st, dst, intra, luma, chroma_idx, b >= 6, &err);
+    // coefficient blocks: ONE atomic row claim for the whole MB (popcount
+    // of cbp) instead of one per block — the claim counter is contended
+    // across slice threads
+    int n_coded = __builtin_popcount(unsigned(cbp));
+    if (n_coded) {
+      int32_t k0 = __atomic_fetch_add(out.cblk_count, n_coded,
+                                      __ATOMIC_RELAXED);
+      if (k0 + n_coded > out.cblk_capacity) return 5;
+      int32_t k = k0;
+      for (int b = 0; b < n_blocks; ++b) {
+        if (!(cbp & (1 << b))) continue;
+        out.cblk_idx[k] = m * n_blocks + slot[b];
+        int16_t* dst = out.cblk + (size_t)k * 64;
+        memset(dst, 0, 64 * sizeof(int16_t));
+        if (!err) {
+          bool luma = b < 4;
+          int chroma_idx = luma ? 0 : 1 + ((b - 4) & 1);
+          out.row_nnz[k] = uint8_t(parse_block(
+              r, p, st, dst, intra, luma, chroma_idx, b >= 6, &err));
+        } else {
+          // a block already errored: the rest of this MB's batch-claimed
+          // rows must still be VALID (zero) rows — tolerate mode keeps
+          // decoding the rest of the picture around them
+          out.row_nnz[k] = 0;
+        }
+        ++k;
+      }
       if (err) return err;
     }
 

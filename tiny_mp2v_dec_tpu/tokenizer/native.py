@@ -42,6 +42,7 @@ class _TokenOut(C.Structure):
         ("mv", C.POINTER(C.c_int16)),
         ("mvfs", C.POINTER(C.c_uint8)),
         ("cblk_capacity", C.c_int32),
+        ("row_nnz", C.POINTER(C.c_uint8)),
     ]
 
 
@@ -105,6 +106,7 @@ def native_tokenizer(num_threads: int = 0, on_error: str = "raise"):
     def tokenize(data: bytes, slices, params: PictureParams,
                  geom: PictureGeometry) -> PictureTokens:
         tokens = PictureTokens.empty(geom)
+        tokens.row_nnz = np.empty(tokens.cblk.shape[0], np.uint8)
         if not slices:
             return tokens
         bitpos = np.asarray([bp for bp, _ in slices], np.uint64)
@@ -144,6 +146,7 @@ def native_tokenizer(num_threads: int = 0, on_error: str = "raise"):
             mv=_ptr(tokens.mv, C.c_int16),
             mvfs=_ptr(tokens.mvfs, C.c_uint8),
             cblk_capacity=tokens.cblk.shape[0],
+            row_nnz=_ptr(tokens.row_nnz, C.c_uint8),
         )
         bad = np.zeros(1, np.int32)
         rc = lib.mp2v_tokenize_picture(

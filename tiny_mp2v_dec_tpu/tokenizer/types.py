@@ -112,6 +112,10 @@ class PictureTokens:
     mv: np.ndarray          # (n_mb, 2, 2, 2) int16 [unit r][dir s][x, y] half-pel
     mvfs: np.ndarray        # (n_mb, 2, 2) uint8 motion_vertical_field_select
     coded: np.ndarray       # (n_mb,) bool — any residual present / mb coded in slice
+    # (capacity,) uint8 — nonzero count per coded row, filled DURING the
+    # native parse (None from the Python tokenizer; the chunk transport
+    # falls back to a counting scan then)
+    row_nnz: Optional[np.ndarray] = None
     n_coded_blocks: int = 0
     # slices dropped by error containment (tokenizer on_error="drop_slice");
     # their successfully parsed prefix is retained, the rest of the picture
