@@ -737,7 +737,8 @@ class GopRecon:
         # within-picture dense-grid index fits uint16 for every geometry up
         # to ~2.7K-wide video; 0xFFFF is the padding sentinel
         self._scat_u16 = geom.n_mb * geom.blocks_per_mb < 0xFFFF
-        self._fn = jax.jit(self._gop, static_argnames=("cap_pairs", "cap_k"))
+        self._fn = jax.jit(self._gop,
+                           static_argnames=("cap_pairs", "cap_k", "bidir"))
         self._stage = {}       # keyed by (pair cap, row cap, parity)
         self._stage_busy = {}  # see DeviceRecon._upload slot guard
         self._stage_idx = 0
@@ -873,7 +874,14 @@ class GopRecon:
         return dense.reshape(self.chunk, n_rows, 64), meta, flags
 
     def _gop(self, blob_a, blob_b, r0y, r0u, r0v, r1y, r1u, r1v,
-             *, cap_pairs, cap_k):
+             *, cap_pairs, cap_k, bidir=True):
+        """``bidir=False`` compiles the forward-only kernel set — chosen
+        statically when no picture of the chunk is B-coded (I/P-only
+        streams, and every I/P step on the chunk=1 latency path).  A
+        data-dependent lax.cond between the two kernel sets inside the scan
+        was measured out in r4 (the duplicated kernels OOM-kill the
+        tunneled platform's compile helper); a static program split costs
+        one extra compile instead."""
         inner = self.inner
         geom = self.geom
         # the blob arrives as two concurrently-uploaded halves; the concat
@@ -902,7 +910,7 @@ class GopRecon:
             # bidir kernels; I/P steps simply gather from ref1 twice.
             out = inner._recon_from_residual(
                 residual, dct_type, fwd, bwd, field_pred, coded, mv,
-                mvfs, *ref0u, *r1)
+                mvfs, *ref0u, *r1, bidir=bidir)
             packed = jnp.concatenate([
                 out[0][:geom.height, :geom.width].reshape(-1),
                 out[1][:ch, :cw].reshape(-1), out[2][:ch, :cw].reshape(-1)])
@@ -1048,10 +1056,12 @@ class GopRecon:
         fl[:] = is_b.astype(np.uint8) | ((~is_b).astype(np.uint8) << 1)
         return (key, blob)
 
-    def dispatch(self, staged, ref0=None, ref1=None):
+    def dispatch(self, staged, ref0=None, ref1=None, bidir: bool = True):
         """Stage 2: upload the staged blob and dispatch the chunk program.
         Must be called in chunk order (the reference planes are a carry);
-        returns (ref0, ref1, packed)."""
+        returns (ref0, ref1, packed).  ``bidir=False`` selects the
+        forward-only program — only valid when no picture in the chunk is
+        B-coded."""
         key, blob = staged
         cap_pairs, cap_k = key[0], key[1]
         if ref0 is None:
@@ -1061,7 +1071,7 @@ class GopRecon:
         try:
             up = _upload_split(blob)
             out = self._fn(*up, *ref0, *ref1,
-                           cap_pairs=cap_pairs, cap_k=cap_k)
+                           cap_pairs=cap_pairs, cap_k=cap_k, bidir=bidir)
             # Slot guard policy: _slot_guard (cpu aliases the staging
             # memory so the outputs guard it; tpu uploads snapshot
             # synchronously — verified on the axon client — so the cv
