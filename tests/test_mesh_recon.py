@@ -188,3 +188,40 @@ def test_sharded_transport_bytes_match_single_chip():
     ss = sb.transport.prepare(toks, [2] * 8)
     assert len(sg[1]) == len(ss[1])         # same consolidated layout
     assert sg[0][:2] == ss[0][:2]           # same capacity buckets
+
+
+@pytest.mark.parametrize("cls_axis", [("rows", "row"), ("stream", "stream")])
+def test_sharded_pallas_kernel_path_value_exact(cls_axis):
+    """The PRODUCTION kernel path (Pallas interpret mode) under shard_map —
+    band-sliced for mesh="rows", per-stream lax.map for the serving mesh —
+    must be value-exact vs the XLA formulation (VERDICT r4 #2/#3: the
+    sharded paths must run the kernels, not an XLA stand-in)."""
+    from tiny_mp2v_dec_tpu.parallel.mesh import random_tokens
+    from tiny_mp2v_dec_tpu.tokenizer.types import PictureGeometry
+    kind, axis = cls_axis
+    rng = np.random.default_rng(31)
+    mesh = make_mesh(N_DEV, axes=(axis,))
+    if kind == "rows":
+        geom = PictureGeometry(128, 16 * N_DEV, H.CHROMA_420)
+        tok = random_tokens(rng, geom)
+        ref = tuple(
+            jax.numpy.asarray(rng.integers(0, 256, s).astype(np.uint8))
+            for s in (geom.luma_padded, geom.chroma_padded,
+                      geom.chroma_padded))
+        a = RowShardedRecon(geom, mesh, use_pallas_idct=False,
+                            use_pallas_mc=False)
+        b = RowShardedRecon(geom, mesh, use_pallas_idct=True,
+                            use_pallas_mc=True, pallas_interpret=True)
+        pa, pb = a(tok, ref, ref), b(tok, ref, ref)
+    else:
+        geom = PictureGeometry(64, 48, H.CHROMA_420)
+        toks = [random_tokens(rng, geom) for _ in range(N_DEV)]
+        a = StreamBatchRecon(geom, mesh, n_streams=N_DEV,
+                             use_pallas_idct=False, use_pallas_mc=False)
+        b = StreamBatchRecon(geom, mesh, n_streams=N_DEV,
+                             use_pallas_idct=True, use_pallas_mc=True,
+                             pallas_interpret=True)
+        pa, pb = a(toks), b(toks)
+    assert b.inner.use_pallas_mc and b.inner.use_pallas_idct
+    for x, y in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -171,7 +171,11 @@ def _jaxdist_worker(rank, world, port, data, q):
         q.put((rank, "error", repr(e), None))
 
 
-def test_jax_distributed_two_process_decode():
+@pytest.mark.parametrize("world", [2, 4])
+def test_jax_distributed_decode(world):
+    """world=2 and world=4 coordinated CPU processes (BASELINE's milestone
+    ladder is 1/8/N hosts; 4 ranks exercise >2-way GOP assignment and the
+    4-host ('host','chip') mesh)."""
     import multiprocessing as mp
     import socket
     data = _multi_gop_stream(4, seed0=90, n_pics=4)
@@ -181,13 +185,14 @@ def test_jax_distributed_two_process_decode():
         port = s.getsockname()[1]
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
-    procs = [ctx.Process(target=_jaxdist_worker, args=(r, 2, port, data, q))
-             for r in range(2)]
+    procs = [ctx.Process(target=_jaxdist_worker,
+                         args=(r, world, port, data, q))
+             for r in range(world)]
     for p in procs:
         p.start()
     results = []
     try:
-        for _ in range(2):
+        for _ in range(world):
             results.append(q.get(timeout=240))
     finally:
         for p in procs:
@@ -197,9 +202,9 @@ def test_jax_distributed_two_process_decode():
     errs = [r for r in results if r[1] == "error"]
     assert not errs, f"worker failures: {errs}"
     # every process saw the full world and the ('host','chip') mesh
-    for rank, world, mesh_shape, _ in results:
-        assert world == 2
-        assert mesh_shape[0] == 2     # host axis = process count
+    for rank, w, mesh_shape, _ in results:
+        assert w == world
+        assert mesh_shape[0] == world  # host axis = process count
     # rank-disjoint chunk assignment covering all 4 GOPs
     from tiny_mp2v_dec_tpu.parallel.distributed import merge_display_order
     per_host = [r[3] for r in results]

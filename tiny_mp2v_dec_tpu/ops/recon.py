@@ -339,11 +339,29 @@ class DeviceRecon:
         self._call_lock = threading.Lock()
 
     # ------------------------------------------------------------------
+    def _band_pos(self, comp, band):
+        """Per-MB top-left plane coordinates.  ``band=None``: the whole
+        picture (cached static arrays).  ``band=(row0, mbh_local)``: the
+        mbh_local MB rows starting at (traced) MB row ``row0`` — positions
+        stay GLOBAL plane coordinates (the reference planes are full), only
+        the tile grid is local."""
+        if band is None:
+            return self._pos[0 if comp == 0 else 1]
+        row0, mbh_l = band
+        g = self.geom
+        xs, ys, _ = CHROMA_INFO[g.chroma_format]
+        mb_y, mb_x = np.divmod(np.arange(mbh_l * g.mb_width), g.mb_width)
+        py = jnp.asarray(mb_y * 16, jnp.int32) + row0 * 16
+        px = jnp.asarray(mb_x * 16, jnp.int32)
+        if comp == 0:
+            return py, px
+        return py >> ys, px >> xs
+
     def _pred_component(self, comp, padded0, padded1, fields0, fields1,
                         mv, mvfs, fwd, bwd, field_pred, h, w,
-                        bidir: bool = True):
+                        bidir: bool = True, band=None):
         cf = self.geom.chroma_format
-        pos_y, pos_x = self._pos[0 if comp == 0 else 1]
+        pos_y, pos_x = self._band_pos(comp, band)
         mvc = _scale_mv(mv, comp, cf)  # (n, 2, 2, 2)
 
         f = fwd[:, None, None]
@@ -411,13 +429,17 @@ class DeviceRecon:
 
     def _recon_from_residual(self, residual, dct_type, fwd, bwd, field_pred,
                              coded, mv, mvfs, r0y, r0u, r0v, r1y, r1u, r1v,
-                             bidir: bool = True):
+                             bidir: bool = True, band=None):
+        """``band=(row0, mbh_local)`` reconstructs only that horizontal
+        band of MB rows (the shard body of the row-sharded mesh path):
+        token tensors/residual cover the band's MBs, reference planes stay
+        FULL (general MVs reach anywhere), and the returned planes are the
+        band's rows."""
         geom = self.geom
         cf = geom.chroma_format
         xs, ys, n_cb = CHROMA_INFO[cf]
         c_cols = (16 >> xs) // 8
         c_rows = (16 >> ys) // 8
-        n = geom.n_mb
         inter_c = dct_type if cf != CHROMA_420 else None
         res = {
             0: _tiles_from_blocks(residual[:, :4], 2, 2, dct_type),
@@ -429,8 +451,10 @@ class DeviceRecon:
         refs = {0: (r0y, r1y), 1: (r0u, r1u), 2: (r0v, r1v)}
         if self.use_pallas_mc:
             return self._planes_pallas(res, refs, fwd, bwd, coded, mv,
-                                       field_pred, mvfs, bidir)
+                                       field_pred, mvfs, bidir, band)
         planes = []
+        mbh = band[1] if band is not None else geom.mb_height
+        mbw = geom.mb_width
         for comp in range(3):
             p0, p1 = refs[comp]
             padded0, padded1 = pad_for_mc(p0), pad_for_mc(p1)
@@ -443,22 +467,28 @@ class DeviceRecon:
             w = 16 if comp == 0 else 16 >> xs
             pred = self._pred_component(comp, padded0, padded1, fields0,
                                         fields1, mv, mvfs, fwd, bwd,
-                                        field_pred, h, w, bidir)
+                                        field_pred, h, w, bidir, band)
             # --- residual add + saturate + uncoded masking ---
             val = pred.astype(jnp.int16) + res[comp]
             tile = jnp.clip(val, 0, 255).astype(jnp.uint8)
             tile = jnp.where(coded[:, None, None], tile, jnp.uint8(0))
-            mbh, mbw = geom.mb_height, geom.mb_width
             planes.append(_plane_from_tiles(tile, mbh, mbw, h, w))
         return tuple(planes)
 
     def _planes_pallas(self, res, refs, fwd, bwd, coded, mv,
-                       field_pred=None, mvfs=None, bidir: bool = True):
+                       field_pred=None, mvfs=None, bidir: bool = True,
+                       band=None):
         """Fused-kernel reconstruction: per component, assemble the int16
         residual in plane layout, then one Pallas call does MC (fwd+bwd
         window gathers, half-pel phase select, field-based prediction when
         the chunk needs it, bidir average), with residual add, saturation
-        and uncoded masking fused in XLA (ops/mc_pallas.py)."""
+        and uncoded masking fused in XLA (ops/mc_pallas.py).
+
+        ``band=(row0, mbh_local)``: reconstruct only that band of MB rows —
+        the kernel grid, residual and output cover the band while window
+        starts/clamps stay in full-reference coordinates (the kernels take
+        the output height via H and size their VMEM ref block from the
+        passed array, so a band call is just a shorter grid)."""
         geom = self.geom
         cf = geom.chroma_format
         xs, ys, _ = CHROMA_INFO[cf]
@@ -469,7 +499,10 @@ class DeviceRecon:
             mode = mode + 4 * coded.astype(jnp.int32)
         if field:
             mode = mode + 8 * field_pred.astype(jnp.int32)
-        mbh, mbw = geom.mb_height, geom.mb_width
+        mbh = band[1] if band is not None else geom.mb_height
+        mbw = geom.mb_width
+        # window-start clamps are in full-reference coordinates
+        Hr, Wr = geom.mb_height * 16, geom.mb_width * 16
         if not swar:
             # roll/mxu kernels: one luma pass + ONE fused U+V pass over
             # the column-interleaved chroma pair (U and V share MV/phase
@@ -490,18 +523,18 @@ class DeviceRecon:
                 return pp.astype(jnp.bfloat16) if mxu else pp
 
             h, w = 16, 16
-            H, W = mbh * h, mbw * w
+            H, W = mbh * h, mbw * w       # band (output) dims; Hr = clamp
             res_y = _plane_from_tiles(res[0], mbh, mbw, h, w)
-            pos_y, pos_x = self._pos[0]
+            pos_y, pos_x = self._band_pos(0, band)
             syf, sxf, phf = mc_meta(pos_y, pos_x, mv[:, 0, 0, 0],
-                                    mv[:, 0, 0, 1], H, W, h, w)
+                                    mv[:, 0, 0, 1], Hr, Wr, h, w)
             syb, sxb, phb = mc_meta(pos_y, pos_x, mv[:, 0, 1, 0],
-                                    mv[:, 0, 1, 1], H, W, h, w)
+                                    mv[:, 0, 1, 1], Hr, Wr, h, w)
             if field:
                 yfld_f = mc_field_meta(pos_y, pos_x, mv[:, :, 0],
-                                       mvfs[:, :, 0], H, W, h, w)
+                                       mvfs[:, :, 0], Hr, Wr, h, w)
                 yfld_b = mc_field_meta(pos_y, pos_x, mv[:, :, 1],
-                                       mvfs[:, :, 1], H, W, h, w)
+                                       mvfs[:, :, 1], Hr, Wr, h, w)
             else:
                 yfld_f = yfld_b = None
             luma = luma_fn(
@@ -511,24 +544,25 @@ class DeviceRecon:
                 bidir=bidir)
             ch_, cw_ = 16 >> ys, 16 >> xs
             Hc, Wc = mbh * ch_, mbw * cw_
+            Hcr, Wcr = Hr >> ys, Wr >> xs
             res_uv = interleave_uv(
                 _plane_from_tiles(res[1], mbh, mbw, ch_, cw_),
                 _plane_from_tiles(res[2], mbh, mbw, ch_, cw_))
-            cpos_y, cpos_x = self._pos[1]
+            cpos_y, cpos_x = self._band_pos(1, band)
             mvc = _scale_mv(mv, 1, cf)
             csyf, csxf, cphf = mc_meta(cpos_y, cpos_x, mvc[:, 0, 0, 0],
-                                       mvc[:, 0, 0, 1], Hc, Wc, ch_, cw_)
+                                       mvc[:, 0, 0, 1], Hcr, Wcr, ch_, cw_)
             csyb, csxb, cphb = mc_meta(cpos_y, cpos_x, mvc[:, 0, 1, 0],
-                                       mvc[:, 0, 1, 1], Hc, Wc, ch_, cw_)
+                                       mvc[:, 0, 1, 1], Hcr, Wcr, ch_, cw_)
             if field:
                 def dbl(t):
                     c0, x0, p0_, c1, x1, p1_ = t
                     return (c0, 2 * x0, p0_, c1, 2 * x1, p1_)
                 cfld_f = dbl(mc_field_meta(cpos_y, cpos_x, mvc[:, :, 0],
-                                           mvfs[:, :, 0], Hc, Wc,
+                                           mvfs[:, :, 0], Hcr, Wcr,
                                            ch_, cw_))
                 cfld_b = dbl(mc_field_meta(cpos_y, cpos_x, mvc[:, :, 1],
-                                           mvfs[:, :, 1], Hc, Wc,
+                                           mvfs[:, :, 1], Hcr, Wcr,
                                            ch_, cw_))
             else:
                 cfld_f = cfld_b = None
@@ -544,13 +578,15 @@ class DeviceRecon:
             h = 16 if comp == 0 else 16 >> ys
             w = 16 if comp == 0 else 16 >> xs
             H, W = mbh * h, mbw * w
+            Hcr = Hr if comp == 0 else Hr >> ys
+            Wcr = Wr if comp == 0 else Wr >> xs
             res_plane = _plane_from_tiles(res[comp], mbh, mbw, h, w)
-            pos_y, pos_x = self._pos[0 if comp == 0 else 1]
+            pos_y, pos_x = self._band_pos(comp, band)
             mvc = _scale_mv(mv, comp, cf)
             syf, sxf, phf = mc_meta(pos_y, pos_x, mvc[:, 0, 0, 0],
-                                    mvc[:, 0, 0, 1], H, W, h, w)
+                                    mvc[:, 0, 0, 1], Hcr, Wcr, h, w)
             syb, sxb, phb = mc_meta(pos_y, pos_x, mvc[:, 0, 1, 0],
-                                    mvc[:, 0, 1, 1], H, W, h, w)
+                                    mvc[:, 0, 1, 1], Hcr, Wcr, h, w)
             p0, p1 = refs[comp]
             # the uncoded-MB mask rides the residual: -256 saturates
             # to 0 after the clip, so the kernel needs no coded bit
@@ -562,9 +598,9 @@ class DeviceRecon:
             r1w = pad_ref_words(p1, h, w, field)
             if field:
                 fld_f = mc_field_meta(pos_y, pos_x, mvc[:, :, 0],
-                                      mvfs[:, :, 0], H, W, h, w)
+                                      mvfs[:, :, 0], Hcr, Wcr, h, w)
                 fld_b = mc_field_meta(pos_y, pos_x, mvc[:, :, 1],
-                                      mvfs[:, :, 1], H, W, h, w)
+                                      mvfs[:, :, 1], Hcr, Wcr, h, w)
                 predw = fused_mc_pred_swar_field(
                     r0w, r1w, syf, sxf, phf, syb, sxb, phb, mode,
                     fld_f, fld_b, h=h, w=w, H=H, W=W,

@@ -31,6 +31,20 @@ from ..ops.recon import DeviceRecon, _slot_guard
 from ..tokenizer.types import CHROMA_INFO, PictureGeometry, PictureTokens
 
 
+def _shard_map(f, *, mesh, in_specs, out_specs):
+    """shard_map with per-device output checking off (the per-shard bodies
+    here use axis_index to slice replicated inputs, which the varying-
+    manual-axes checker can't prove replicated)."""
+    try:
+        from jax import shard_map
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except (ImportError, TypeError):   # older jax spelling
+        from jax.experimental.shard_map import shard_map as sm
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def _plane_sds(geom: PictureGeometry, lead=()):
     """ShapeDtypeStructs of the (y, u, v) padded planes, optionally with a
     leading (stream) axis — used to warm sharded programs compile-only."""
@@ -87,35 +101,44 @@ def pad_tokens_rows(tokens: PictureTokens, geom_padded: PictureGeometry) -> Pict
 
 
 class RowShardedRecon:
-    """One picture reconstructed across all chips of a mesh axis: per-MB
-    token tensors and the dense block->sparse-row gather map are sharded by
-    MB row; the compact sparse coefficient rows and the reference planes are
-    replicated (sparse rows are a few percent of dense volume — replicating
-    them costs less than re-partitioning by band, and each chip's sharded
-    gather touches only its own band's rows).  Output planes come back
-    sharded by row band; consuming them as replicated references for the
-    next picture is the ICI all-gather (general MVs can reach anywhere in
-    the reference, SURVEY §5.8)."""
+    """One picture reconstructed across all chips of a mesh axis: each chip
+    runs the PRODUCTION kernel path on its band of MB rows under
+    ``shard_map`` (window starts stay in full-reference coordinates; the
+    kernel grid simply walks fewer bands).  The pair-packed blob and the
+    reference planes are replicated — sparse rows are a few percent of
+    dense volume, the cheap scatter+IDCT runs on every chip, and general
+    MVs can reach anywhere in the reference so full-plane replication is
+    the correct exchange.  Output planes come back sharded by row band;
+    consuming them as replicated references for the next picture is the
+    ICI all-gather (SURVEY §5.8).  The multi-chip analog of the
+    reference's slice-parallel workers at full SIMD speed
+    (reference: src/core/threads.cpp:138-159)."""
 
     def __init__(self, geom: PictureGeometry, mesh: Mesh, axis: str = "row",
-                 field_support: bool = False):
+                 field_support: bool = False,
+                 use_pallas_idct: bool | None = None,
+                 use_pallas_mc: bool | None = None,
+                 pallas_interpret: bool = False):
         from ..ops.recon import GopRecon
         n = mesh.shape[axis]
         self.mesh = mesh
         self.axis = axis
+        self.n_shards = n
         self.geom_in = geom
         self.geom = pad_geometry_rows(geom, n)
+        self.mbh_local = self.geom.mb_height // n
         # transport: the same pair-packed consolidated blob + pinned
         # staging as the single-chip paths (GopRecon with chunk=1); its
-        # inner DeviceRecon doubles as the reconstructor
-        self.transport = GopRecon(self.geom, 1, field_support=field_support)
+        # inner DeviceRecon doubles as the band reconstructor
+        self.transport = GopRecon(self.geom, 1, field_support=field_support,
+                                  use_pallas_idct=use_pallas_idct,
+                                  use_pallas_mc=use_pallas_mc,
+                                  pallas_interpret=pallas_interpret)
         self.inner = self.transport.inner
 
         rep = NamedSharding(mesh, P())              # replicated refs/blob
-        tok = NamedSharding(mesh, P(axis))          # MB batch axis
         rows = NamedSharding(mesh, P(axis, None))   # plane rows
         self._rep = rep
-        self._tok = tok
         self._rows = rows
         self._fns = {}   # (cap_pairs, cap_k) -> jitted fn
         # background bucket compiles must warm THIS program, not the
@@ -131,31 +154,38 @@ class RowShardedRecon:
     def _fn_for(self, cap_pairs: int, cap_k: int):
         key = (cap_pairs, cap_k)
         if key not in self._fns:
-            def f(blob, *refs):
-                return self._recon_blob(blob, *refs, cap_pairs=cap_pairs,
+            def shard(blob, *refs):
+                return self._recon_band(blob, refs, cap_pairs=cap_pairs,
                                         cap_k=cap_k)
+            sharded = _shard_map(
+                shard, mesh=self.mesh,
+                in_specs=(P(),) * 7,
+                out_specs=(P(self.axis, None),) * 3)
             self._fns[key] = jax.jit(
-                f, in_shardings=((self._rep,) + (self._rep,) * 6),
+                sharded, in_shardings=(self._rep,) * 7,
                 out_shardings=(self._rows,) * 3)
         return self._fns[key]
 
-    def _recon_blob(self, blob, r0y, r0u, r0v, r1y, r1u, r1v,
-                    *, cap_pairs, cap_k):
+    def _recon_band(self, blob, refs, *, cap_pairs, cap_k):
+        """Per-shard body: decode the replicated blob, slice this shard's
+        MB-row band, reconstruct it with the full kernel path."""
         from ..ops.recon import _unpack_meta2
         inner = self.inner
         g = self.geom
         dense, meta, _flags = self.transport._decode_blob(
             blob, cap_pairs=cap_pairs, cap_k=cap_k)
-        # shard the per-MB work by row band; the cheap pair scatter + IDCT
-        # above stay replicated (they are a few % of the per-MB MC cost)
-        residual = jax.lax.with_sharding_constraint(
-            dense[0].reshape(g.n_mb, g.blocks_per_mb, 8, 8), self._tok)
-        m = jax.lax.with_sharding_constraint(meta[0], self._tok)
+        row0 = jax.lax.axis_index(self.axis) * self.mbh_local
+        mb0 = row0 * g.mb_width
+        n_loc = self.mbh_local * g.mb_width
+        res_l = jax.lax.dynamic_slice_in_dim(
+            dense[0], mb0 * g.blocks_per_mb, n_loc * g.blocks_per_mb)
+        m_l = jax.lax.dynamic_slice_in_dim(meta[0], mb0, n_loc)
         dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta2(
-            m, inner.field_support)
+            m_l, inner.field_support)
+        residual = res_l.reshape(n_loc, g.blocks_per_mb, 8, 8)
         return inner._recon_from_residual(
             residual, dct_type, fwd, bwd, field_pred, coded, mv, mvfs,
-            r0y, r0u, r0v, r1y, r1u, r1v)
+            *refs, band=(row0, self.mbh_local))
 
     def __call__(self, tokens: PictureTokens, ref0=None, ref1=None):
         g = self.geom
@@ -186,31 +216,42 @@ class StreamBatchRecon:
     (GopRecon.prepare — pinned staging slots, sorted nonzero pairs, ~6 B
     per coefficient; stream index takes the place of picture index).  The
     blob is replicated and the cheap global scatter+IDCT runs on every
-    chip; the per-stream MC/reconstruction — the dominant cost — is
-    vmapped with the stream axis sharded.  The per-stream reference-list
-    update is data (is_b/is_ip selects, as in GopRecon's scan step), so
-    streams with entirely different GOP structures batch together.
-
-    The vmapped MC uses the XLA gather formulation (a Pallas kernel under
-    vmap does not batch; the stacked-plane Pallas variant is future work —
-    see PERF_NOTES.md)."""
+    chip; the per-stream MC/reconstruction — the dominant cost — runs
+    under ``shard_map``: each chip loops (``lax.map``) over ITS streams
+    with the production Pallas kernels, exactly like the single-chip chunk
+    path (a kernel under vmap would not batch; under shard_map it executes
+    per-device as a plain single-plane kernel — the TPU analog of the
+    reference running its SIMD MC inside every worker thread,
+    reference: src/core/mc.cpp:4-25, threads.cpp:138-159).  The per-stream
+    reference-list update is data (is_b/is_ip selects, as in GopRecon's
+    scan step), so streams with entirely different GOP structures batch
+    together."""
 
     def __init__(self, geom: PictureGeometry, mesh: Mesh, axis: str = "stream",
-                 field_support: bool = False, n_streams: int = 0):
+                 field_support: bool = False, n_streams: int = 0,
+                 use_pallas_idct: bool | None = None,
+                 use_pallas_mc: bool | None = None,
+                 pallas_interpret: bool = False):
         from ..ops.recon import GopRecon
         self.mesh = mesh
+        self.axis = axis
         self.geom = geom
         self.n_streams = n_streams or mesh.shape[axis]
+        n_sh = mesh.shape[axis]
+        assert self.n_streams % n_sh == 0, \
+            f"{self.n_streams} streams not divisible across {n_sh} shards"
+        self.s_local = self.n_streams // n_sh
         # transport shares GopRecon's staging/prepare machinery; its inner
-        # recon also serves as the vmapped per-stream reconstructor
+        # recon also serves as the per-stream reconstructor
         self.transport = GopRecon(geom, self.n_streams,
                                   field_support=field_support,
-                                  use_pallas_mc=False)
+                                  use_pallas_idct=use_pallas_idct,
+                                  use_pallas_mc=use_pallas_mc,
+                                  pallas_interpret=pallas_interpret)
         self.inner = self.transport.inner
         self._st = NamedSharding(mesh, P(axis))
         self._rep = NamedSharding(mesh, P())
-        self._fns = {}   # (cap_pairs, cap_k) -> jitted step (pjit cannot
-        #                  mix in_shardings with static kwargs)
+        self._fns = {}   # (cap_pairs, cap_k) -> jitted step
         self.transport.compile_hook = self._compile_for
 
     def _compile_for(self, cap_pairs: int, cap_k: int) -> None:
@@ -222,26 +263,37 @@ class StreamBatchRecon:
     def _fn_for(self, cap_pairs: int, cap_k: int):
         key = (cap_pairs, cap_k)
         if key not in self._fns:
-            def f(blob, *refs):
-                return self._step(blob, *refs,
-                                  cap_pairs=cap_pairs, cap_k=cap_k)
+            def shard(blob, *refs):
+                return self._step_shard(blob, refs,
+                                        cap_pairs=cap_pairs, cap_k=cap_k)
+            sharded = _shard_map(
+                shard, mesh=self.mesh,
+                in_specs=(P(),) + (P(self.axis),) * 6,
+                out_specs=(P(self.axis),) * 9)
             self._fns[key] = jax.jit(
-                f,
+                sharded,
                 in_shardings=((self._rep,) + (self._st,) * 6),
                 out_shardings=(self._st,) * 9)
         return self._fns[key]
 
-    def _step(self, blob, r0y, r0u, r0v, r1y, r1u, r1v,
-              *, cap_pairs, cap_k):
+    def _step_shard(self, blob, refs, *, cap_pairs, cap_k):
+        """Per-shard body: decode the (replicated) blob, slice out this
+        shard's streams, and reconstruct them sequentially with the full
+        kernel path."""
         from ..ops.recon import _unpack_meta2
         inner = self.inner
         geom = self.geom
         dense, meta, flags = self.transport._decode_blob(
             blob, cap_pairs=cap_pairs, cap_k=cap_k)
-        is_b = (flags & 1) != 0
-        is_ip = (flags & 2) != 0
+        s0 = jax.lax.axis_index(self.axis) * self.s_local
+        dense_l = jax.lax.dynamic_slice_in_dim(dense, s0, self.s_local)
+        meta_l = jax.lax.dynamic_slice_in_dim(meta, s0, self.s_local)
+        flags_l = jax.lax.dynamic_slice_in_dim(flags, s0, self.s_local)
+        is_b = (flags_l & 1) != 0
+        is_ip = (flags_l & 2) != 0
 
-        def one(res, m, b_flag, ip_flag, r0y, r0u, r0v, r1y, r1u, r1v):
+        def one(xs):
+            res, m, b_flag, ip_flag, r0y, r0u, r0v, r1y, r1u, r1v = xs
             dct_type, fwd, bwd, field_pred, coded, mv, mvfs = _unpack_meta2(
                 m, inner.field_support)
             residual = res.reshape(geom.n_mb, geom.blocks_per_mb, 8, 8)
@@ -256,8 +308,9 @@ class StreamBatchRecon:
             new_r1 = tuple(jnp.where(ip_flag, o, b) for o, b in zip(out, r1))
             return (*new_r0, *new_r1, *out)
 
-        return jax.vmap(one)(dense, meta, is_b, is_ip,
-                             r0y, r0u, r0v, r1y, r1u, r1v)
+        # lax.map = sequential per-stream decode on this chip: ONE traced
+        # kernel set regardless of how many streams the shard serves
+        return jax.lax.map(one, (dense_l, meta_l, is_b, is_ip, *refs))
 
     def _zero_refs(self):
         g = self.geom

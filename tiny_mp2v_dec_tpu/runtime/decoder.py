@@ -272,7 +272,8 @@ class MP2VDecoder:
             n = self.config.mesh_devices or None
             mesh = make_mesh(n, axes=("row",))
             self._recons[key] = RowShardedRecon(geom, mesh,
-                                                field_support=field_support)
+                                                field_support=field_support,
+                                                **self._pallas_opts())
         return self._recons[key]
 
     def _emit(self, pending) -> None:
@@ -422,7 +423,8 @@ class MP2VDecoder:
         avail = self.config.mesh_devices or len(jax.devices())
         n = max(d for d in range(1, min(S, avail) + 1) if S % d == 0)
         sb = StreamBatchRecon(geom, make_mesh(n, axes=("stream",)),
-                              field_support=field, n_streams=S)
+                              field_support=field, n_streams=S,
+                              **self._pallas_opts())
         noop = PictureTokens.empty(geom)   # all-uncoded padding picture
         refs0 = refs1 = None
         n_steps = max(len(q) for q in seqs)

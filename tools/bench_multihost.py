@@ -64,18 +64,44 @@ def measure(n_hosts, data):
 
 def main():
     data = make_stream()
-    t1, n1 = measure(1, data)
-    t2, n2 = measure(2, data)
-    assert n1 == n2 == N_GOPS * PICS_PER_GOP
-    eff = t1 / (2 * t2)
+    cores = os.cpu_count() or 1
+    hosts = [1, 2, 4, 8]
+    times = {}
+    frames = None
+    for n in hosts:
+        t, nf = measure(n, data)
+        times[n] = t
+        frames = nf
+    assert frames == N_GOPS * PICS_PER_GOP
+    t1 = times[1]
+    points = {}
+    ok = True
+    for n in hosts:
+        # ideal speedup is bounded by the PHYSICAL cores of this machine:
+        # beyond `cores` simulated hosts the workers time-share, so the
+        # honest ideal is min(n, cores) and the point measures that
+        # oversubscription does not DEGRADE throughput (scheduling +
+        # serialization overhead stays low).  BASELINE's 1/8/N milestone
+        # needs >=8 real hosts to measure true 8-way wall-clock scaling.
+        ideal = min(n, cores)
+        eff = t1 / (ideal * times[n])
+        points[str(n)] = {"t_s": round(times[n], 4),
+                          "speedup": round(t1 / times[n], 3),
+                          "ideal_speedup": ideal,
+                          "efficiency": round(eff, 3)}
+        ok = ok and eff >= 0.8
+    eff = points["2"]["efficiency"]
     rec = {
-        "gops": N_GOPS, "frames": n1,
-        "t1_s": round(t1, 4), "t2_s": round(t2, 4),
-        "speedup_2host": round(t1 / t2, 3),
-        "efficiency_2host": round(eff, 3),
-        "bar": 0.8, "pass": eff >= 0.8,
+        "gops": N_GOPS, "frames": frames,
+        "physical_cores": cores,
+        "hosts": points,
+        "t1_s": round(t1, 4), "t2_s": round(times[2], 4),
+        "speedup_2host": round(t1 / times[2], 3),
+        "efficiency_2host": eff,
+        "bar": 0.8, "pass": ok,
         "note": "simulated hosts = worker processes, CPU backend, "
-                "pre-warmed pools, best of %d" % REPS,
+                "pre-warmed pools, best of %d; efficiency vs "
+                "min(n_hosts, physical_cores) ideal" % REPS,
     }
     print(json.dumps(rec, indent=2))
     with open(os.path.join(_HERE, "MULTIHOST_SCALING.json"), "w") as f:
