@@ -121,18 +121,27 @@ def main():
           file=sys.stderr)
 
     # --- 3. d2h split scaling ----------------------------------------
-    dev = jnp.asarray(blob)
-    jax.block_until_ready(dev)
+    # IMPORTANT: pull a COMPUTED output (an uploaded array keeps a host
+    # copy in the client and np.asarray returns it without any transfer —
+    # r5 first run measured a bogus 68 GB/s that way).  Each rep computes
+    # a fresh salted result so no host cache can exist.
+    base = jnp.asarray(blob)
+    add = jax.jit(lambda x, s: x + s)
     d2h = {}
+    salt = [0]
     for k in (1, 2, 4):
-        parts = [dev[i * (PAYLOAD // k):(i + 1) * (PAYLOAD // k)]
-                 for i in range(k)]
-
-        def down(parts=parts, pool=pools[max(k, 1)]):
-            futs = [pool.submit(np.asarray, p) for p in parts]
-            return [f.result() for f in futs]
+        def down(k=k):
+            salt[0] = (salt[0] + 1) % 250
+            dev = add(base, np.uint8(salt[0]))
+            jax.block_until_ready(dev)
+            t0 = time.perf_counter()
+            parts = [dev[i * (PAYLOAD // k):(i + 1) * (PAYLOAD // k)]
+                     for i in range(k)]
+            futs = [pools[max(k, 1)].submit(np.asarray, p) for p in parts]
+            [f.result() for f in futs]
+            return time.perf_counter() - t0
         down()
-        t, _ = best(down, reps=3)
+        t = min(down() for _ in range(3))
         d2h[str(k)] = {"s": round(t, 4), "mb_s": round(PAYLOAD / MB / t, 1)}
         print(f"# d2h split={k}: {PAYLOAD/MB/t:8.1f} MB/s", file=sys.stderr)
     rec["d2h_split"] = d2h
