@@ -38,6 +38,11 @@ def main(argv=None) -> int:
                     help="shard each picture's MB rows across local chips")
     ap.add_argument("--hosts", type=int, default=0, metavar="N",
                     help="distribute closed GOPs over N worker processes")
+    ap.add_argument("--on-error", choices=["raise", "drop_slice"],
+                    default="raise",
+                    help="malformed-slice policy: abort (default) or "
+                         "contain the damage to the bad slice and keep "
+                         "decoding")
     args = ap.parse_args(argv)
 
     with open(args.video, "rb") as f:
@@ -52,7 +57,8 @@ def main(argv=None) -> int:
         from .parallel.hosts import MultiHostDecoder
         mh = MultiHostDecoder(args.hosts, config_kwargs=dict(
             reordering=not args.no_reorder, width=w, height=h,
-            chroma_format=chroma, gop_chunk=args.gop_chunk))
+            chroma_format=chroma, gop_chunk=args.gop_chunk,
+            on_error=args.on_error))
 
         class _F:  # minimal frame shim: MultiHostDecoder returns raw bytes
             def __init__(self, b):
@@ -70,7 +76,7 @@ def main(argv=None) -> int:
         dec = MP2VDecoder(DecoderConfig(
             reordering=not args.no_reorder, width=w, height=h,
             chroma_format=chroma, gop_chunk=args.gop_chunk,
-            mesh=args.mesh))
+            mesh=args.mesh, on_error=args.on_error))
 
         def decode():
             dec.reset()

@@ -135,11 +135,14 @@ def main():
         def serve_op(b, r0y, r0u, r0v, r1y, r1u, r1v, salt, _fn=fn):
             return _fn(b + salt.astype(jnp.uint8),
                        r0y, r0u, r0v, r1y, r1u, r1v)
-        serve_ms[name] = chain_time(serve_op, (blob, *refs, *refs), n=8)
+        # n=32: the 2-stream step is only a few ms, so the chained signal
+        # must clear the tunnel-RTT noise floor (n=8 measured 0 once)
+        serve_ms[name] = chain_time(serve_op, (blob, *refs, *refs), n=32)
 
     speedup = t_xla / t_pallas
     chunk_speedup = chunk_ms["xla"] / chunk_ms["pallas"]
-    serve_speedup = serve_ms["xla"] / serve_ms["pallas"]
+    serve_speedup = (serve_ms["xla"] / serve_ms["pallas"]
+                     if serve_ms["pallas"] > 0 else 0.0)
     rec = {"mc_pallas_ms": round(t_pallas * 1e3, 3),
            "mc_xla_ms": round(t_xla * 1e3, 3),
            "speedup": round(speedup, 2), "gate": 1.25,

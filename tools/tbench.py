@@ -38,13 +38,20 @@ def chain_time(op, args, n=32, warmup=True):
     if warmup:
         np.asarray(f(1))
         np.asarray(f(n))
-    t0 = time.perf_counter()
-    np.asarray(f(1))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(f(n))
-    tn = time.perf_counter() - t0
-    return max(tn - t1, 0.0) / (n - 1)
+
+    def t(k, reps=3):
+        # best-of: the shared tunneled device swings between consecutive
+        # calls, and a single t1/tn pair can even go NEGATIVE after the
+        # subtraction (observed r5: a gate artifact with every kernel at
+        # ~0 ms).  The min of each is the machine, the rest is weather.
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max(t(n) - t(1), 0.0) / (n - 1)
 
 
 def report(name, op, args, n=32):
