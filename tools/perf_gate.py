@@ -133,8 +133,12 @@ def main():
         fn = sb._fn_for(cap_pairs, cap_k)
 
         def serve_op(b, r0y, r0u, r0v, r1y, r1u, r1v, salt, _fn=fn):
+            # chain on the RECONSTRUCTED planes (out[6:9]) — the first
+            # outputs are ref-list selects of the INPUT refs, and chaining
+            # on those lets XLA dead-code-eliminate the whole recon (r5:
+            # serve_xla_ms measured 0.046 that way)
             return _fn(b + salt.astype(jnp.uint8),
-                       r0y, r0u, r0v, r1y, r1u, r1v)
+                       r0y, r0u, r0v, r1y, r1u, r1v)[6:9]
         # n=32: the 2-stream step is only a few ms, so the chained signal
         # must clear the tunnel-RTT noise floor (n=8 measured 0 once)
         serve_ms[name] = chain_time(serve_op, (blob, *refs, *refs), n=32)
