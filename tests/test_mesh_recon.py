@@ -225,3 +225,21 @@ def test_sharded_pallas_kernel_path_value_exact(cls_axis):
     assert b.inner.use_pallas_mc and b.inner.use_pallas_idct
     for x, y in zip(pa, pb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_decode_batch_kernel_path_bitexact_vs_golden():
+    """decode_batch END-TO-END on the production kernel path (interpret
+    mode): 8 streams over 8 shards through the Pallas MC/IDCT must stay
+    bit-exact vs per-stream golden decode."""
+    streams = [_stream(300 + i, n_pics=4,
+                       pcts=(H.PCT_I, H.PCT_P, H.PCT_B, H.PCT_B))
+               for i in range(8)]
+    dec = MP2VDecoder(DecoderConfig(use_pallas=True, pallas_interpret=True))
+    got = dec.decode_batch(streams)
+    for s, frames in zip(streams, got):
+        exp = _golden_frames(s)
+        assert len(frames) == len(exp)
+        for a, b in zip(exp, frames):
+            np.testing.assert_array_equal(a.y, b.y)
+            np.testing.assert_array_equal(a.u, b.u)
+            np.testing.assert_array_equal(a.v, b.v)

@@ -361,7 +361,8 @@ def _field_pred_mxu(refb, c0, x0, p0, c1, x1, p1, h, tw, htap):
 
 
 def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
-                     bidir: bool, uv: bool = False, field: bool = False):
+                     bidir: bool, uv: bool = False, field: bool = False,
+                     pair: bool = False):
     tw = 2 * w if uv else w
     htap = 2 if uv else 1
 
@@ -373,6 +374,24 @@ def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
             for mb in range(mbw):
                 i = (r * rows_per_step + j) * mbw + mb
                 m = mode_ref[i]
+                if pair and bidir and not field:
+                    # both directions in two block-diagonal matmuls
+                    pf, pb = _gather_pred_pair_mxu(
+                        ref0, ref1, syf_ref[i], sxf_ref[i], phf_ref[i],
+                        syb_ref[i], sxb_ref[i], phb_ref[i], h, tw, htap)
+                    f = (m & 1) != 0
+                    bk = (m & 2) != 0
+                    both = (pf + pb + 1) >> 1
+                    pred = jnp.where(f & bk, both,
+                                     jnp.where(f, pf, jnp.where(bk, pb, 0)))
+                    val = pred + res_ref[
+                        j * h:(j + 1) * h,
+                        mb * tw:(mb + 1) * tw].astype(jnp.int32)
+                    val = jnp.clip(val, 0, 255)
+                    val = jnp.where((m & 4) != 0, val, 0)
+                    out_ref[j * h:(j + 1) * h,
+                            mb * tw:(mb + 1) * tw] = val.astype(jnp.uint8)
+                    continue
                 pf = _gather_pred_mxu(ref0, syf_ref[i], sxf_ref[i],
                                       phf_ref[i], h, tw, htap)
                 if field:
@@ -425,21 +444,24 @@ def _make_kernel_mxu(h: int, w: int, mbw: int, rows_per_step: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "H", "W", "interpret",
-                                    "bidir"))
+                                    "bidir", "pair"))
 def fused_mc_recon_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
                        sxb, phb, mode, fld_f=None, fld_b=None, *, h: int,
                        w: int, H: int, W: int, interpret: bool = False,
-                       bidir: bool = True):
+                       bidir: bool = True, pair: bool = False):
     """MXU-selection variant of fused_mc_recon; refs are
     pad_ref_plane(...).astype(bfloat16) (field=True padding when fld_f is
     given).  fld_f/fld_b: per-direction (C0, sx0, ph0, C1, sx1, ph1)
-    6-tuples from mc_field_meta — mode bit 8 selects field prediction."""
+    6-tuples from mc_field_meta — mode bit 8 selects field prediction.
+    ``pair=True`` (bidir, non-field): both directions' window selections
+    ride two block-diagonal matmuls per MB instead of four."""
     mbw = W // w
     band = 16 if (16 % h == 0 and H % 16 == 0) else h
     rows_per_step = band // h
     grid = H // band
     field = fld_f is not None
-    kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir, field=field)
+    kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir, field=field,
+                              pair=pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=19 if field else 7,
         grid=(grid,),
@@ -466,22 +488,23 @@ def fused_mc_recon_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "H", "W", "interpret",
-                                    "bidir"))
+                                    "bidir", "pair"))
 def fused_mc_recon_uv_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
                           sxb, phb, mode, fld_f=None, fld_b=None, *,
                           h: int, w: int, H: int, W: int,
-                          interpret: bool = False, bidir: bool = True):
+                          interpret: bool = False, bidir: bool = True,
+                          pair: bool = False):
     """MXU-selection variant of fused_mc_recon_uv: both chroma planes in
     one pass over the column-interleaved (H, 2W) layout; refs are
     pad_ref_plane_uv(...).astype(bfloat16); sx (incl. the field tuples')
-    doubled by the caller."""
+    doubled by the caller.  ``pair`` as in fused_mc_recon_mxu."""
     mbw = W // w
     band = 16 if (16 % h == 0 and H % 16 == 0) else h
     rows_per_step = band // h
     grid = H // band
     field = fld_f is not None
     kernel = _make_kernel_mxu(h, w, mbw, rows_per_step, bidir, uv=True,
-                              field=field)
+                              field=field, pair=pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=19 if field else 7,
         grid=(grid,),
@@ -504,6 +527,62 @@ def fused_mc_recon_uv_mxu(ref0_bf, ref1_bf, res_plane, syf, sxf, phf, syb,
         interpret=interpret,
     )(syf, sxf, phf, syb, sxb, phb, mode, *fld,
       ref0_bf, ref1_bf, res_plane)
+
+
+def _gather_pred_pair_mxu(ref0, ref1, syf, sxf, phf, syb, sxb, phb,
+                          h, tw, htap: int = 1):
+    """BOTH directions' predictions with two block-diagonal one-hot
+    matmuls (instead of four): the fwd and bwd windows stack vertically
+    into one (2*rows, 256) operand, the row/column one-hots become
+    block-diagonal, and each MB pays two larger MXU ops whose fixed
+    per-op cost amortizes across the pair.  Exactness is unchanged (still
+    one <=255 term per selected element).  Frame prediction only (the
+    field path keeps per-unit gathers)."""
+    rows = _load_rows(h)
+    hs = h + 1
+    wsel = tw + htap
+    syf0 = pl.multiple_of((syf >> 3) << 3, 8)
+    ryf = syf - syf0
+    sxf0 = pl.multiple_of((sxf >> 7) << 7, 128)
+    rxf = sxf - sxf0
+    syb0 = pl.multiple_of((syb >> 3) << 3, 8)
+    ryb = syb - syb0
+    sxb0 = pl.multiple_of((sxb >> 7) << 7, 128)
+    rxb = sxb - sxb0
+    win = jnp.concatenate([ref0[pl.ds(syf0, rows), pl.ds(sxf0, 256)],
+                           ref1[pl.ds(syb0, rows), pl.ds(sxb0, 256)]],
+                          axis=0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (2 * hs, 2 * rows), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (2 * hs, 2 * rows), 1)
+    oy = (((ii < hs) & (rr == ii + ryf))
+          | ((ii >= hs) & (rr - rows == ii - hs + ryb))).astype(jnp.bfloat16)
+    t = jax.lax.dot_general(oy, win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (256, 2 * wsel), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (256, 2 * wsel), 1)
+    ox = (((jj < wsel) & (cc == jj + rxf))
+          | ((jj >= wsel) & (cc == jj - wsel + rxb))).astype(jnp.bfloat16)
+    sel = jax.lax.dot_general(t.astype(jnp.bfloat16), ox,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    sel = sel.astype(jnp.int32)
+
+    def taps(win_s, ph):
+        a = win_s[:h, :tw]
+        b = win_s[:h, htap:tw + htap]
+        c = win_s[1:h + 1, :tw]
+        d = win_s[1:h + 1, htap:tw + htap]
+        ab = (a + b + 1) >> 1
+        ac = (a + c + 1) >> 1
+        abcd = (ab + ((c + d + 1) >> 1) + 1) >> 1
+        hx = (ph & 1) != 0
+        hy = (ph & 2) != 0
+        return jnp.where(hx & hy, abcd,
+                         jnp.where(hx, ab, jnp.where(hy, ac, a)))
+
+    pf = taps(sel[:hs, :wsel], phf)
+    pb = taps(sel[hs:, wsel:], phb)
+    return pf, pb
 
 
 # ----------------------------------------------------------------------

@@ -566,12 +566,17 @@ class DeviceRecon:
                                            ch_, cw_))
             else:
                 cfld_f = cfld_b = None
+            # paired-direction selection wins for the UV kernel only
+            # (chroma is per-MB-overhead bound: 0.958 -> 0.720 ms measured;
+            # the luma variant LOST 0.42 -> 0.94, so luma keeps per-
+            # direction gathers)
+            uv_kw = {"pair": bidir and not field} if mxu else {}
             uv = uv_fn(
                 prep_uv(refs[1][0], refs[2][0], ch_, cw_),
                 prep_uv(refs[1][1], refs[2][1], ch_, cw_),
                 res_uv, csyf, 2 * csxf, cphf, csyb, 2 * csxb, cphb, mode,
                 cfld_f, cfld_b, h=ch_, w=cw_, H=Hc, W=Wc,
-                interpret=self.pallas_interpret, bidir=bidir)
+                interpret=self.pallas_interpret, bidir=bidir, **uv_kw)
             return (luma, uv[:, 0::2], uv[:, 1::2])
         planes = []
         for comp in range(3):
@@ -1054,8 +1059,12 @@ class GopRecon:
             if fits:
                 import threading
                 if exact not in self._bg_threads:
+                    # non-daemon: a daemon thread killed mid-XLA-compile at
+                    # interpreter shutdown aborts the process (glibc
+                    # "FATAL: exception not rethrown", observed r5);
+                    # interpreter exit instead joins the in-flight compile
                     th = threading.Thread(target=self._ensure_quiet,
-                                          args=exact, daemon=True)
+                                          args=exact, daemon=False)
                     self._bg_threads[exact] = th
                     th.start()
                 self.stats["bucket_fallbacks"] += 1

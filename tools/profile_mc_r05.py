@@ -65,16 +65,22 @@ def main():
     csy, csx, cph = mc_meta(cpos_y, cpos_x, mvc[:, 0], mvc[:, 1],
                             Hc, Wc, 8, 8)
 
-    def uv_op(pp, r, sy, sx, ph, m, salt):
-        return fused_mc_recon_uv_mxu(pp, pp, r, sy, 2 * sx + salt, ph, sy,
-                                     2 * sx, ph, m, h=8, w=8, H=Hc, W=Wc)
-    t_uv = chain_time(uv_op, (uvp, res_uv, csy, csx, cph, mode), n=16)
-    out["mxu_uv_fused_bidir_ms"] = round(t_uv * 1e3, 3)
+    for pair in (False, True):
+        def uv_op(pp, r, sy, sx, ph, m, salt, _p=pair):
+            return fused_mc_recon_uv_mxu(pp, pp, r, sy, 2 * sx + salt, ph,
+                                         sy, 2 * sx, ph, m, h=8, w=8,
+                                         H=Hc, W=Wc, pair=_p)
+        t_uv = chain_time(uv_op, (uvp, res_uv, csy, csx, cph, mode), n=32)
+        key = "mxu_uv_fused_bidir_pair_ms" if pair else \
+            "mxu_uv_fused_bidir_ms"
+        out[key] = round(t_uv * 1e3, 3)
+        print(f"{key:28s} {t_uv*1e3:8.3f} ms", flush=True)
+    # production UV = paired-direction selection (bidir chunks)
+    t_uv = out["mxu_uv_fused_bidir_pair_ms"] / 1e3
     out["uv_over_luma"] = round(t_uv / t_luma, 3)
     out["bar_uv_over_luma"] = 0.6
     out["pass"] = bool(t_uv / t_luma <= 0.6)
-    print(f"mxu_uv_fused_bidir  {t_uv*1e3:8.3f} ms  "
-          f"(uv/luma {t_uv/t_luma:.2f})", flush=True)
+    print(f"uv/luma (pair, production) {t_uv/t_luma:.2f}", flush=True)
 
     with open(os.path.join(_HERE, "PROFILE_mc_r05.json"), "w") as f:
         json.dump(out, f, indent=2)
