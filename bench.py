@@ -85,7 +85,15 @@ def main() -> int:
     # README likewise times with file output disabled, README.md:48; host
     # delivery is a separate line below because the dev-environment tunnel's
     # device->host bandwidth is highly variable).
-    dec = MP2VDecoder(DecoderConfig(gop_chunk=16, output_host=False))
+    # pictures_pool_size=0: frames stay device-resident and unconsumed in
+    # this measurement, and the default pool (10) is SMALLER than the
+    # 16-picture chunk — _emit's back-pressure then blocks the dispatch
+    # thread on its OWN chunk's completion while routing frames 11..16,
+    # serializing every chunk against the next (PROFILE_timeline_r05.json:
+    # zero exec overlap, wall == sum of chunk execs).  In-flight chunk
+    # jobs and staging slots still bound device/host memory.
+    dec = MP2VDecoder(DecoderConfig(gop_chunk=16, output_host=False,
+                                    pictures_pool_size=0))
 
     def run():
         dec.reset()
@@ -123,7 +131,8 @@ def main() -> int:
     # how BASELINE_MEASURED.json was taken; this line documents serving
     # throughput per chip.
     from concurrent.futures import ThreadPoolExecutor as _TPE
-    dec2 = [MP2VDecoder(DecoderConfig(gop_chunk=16, output_host=False))
+    dec2 = [MP2VDecoder(DecoderConfig(gop_chunk=16, output_host=False,
+                                      pictures_pool_size=0))
             for _ in range(2)]
 
     def run_one(d):

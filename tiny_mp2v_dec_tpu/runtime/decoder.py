@@ -38,7 +38,11 @@ class DecoderConfig:
     # device buffer once the pool is exceeded.  The chunk path ALSO
     # bounds in-flight device chunks (<=3 submitted, <=2 unfinished) and
     # staging slots (3), which cap device/host memory independently of
-    # frame delivery.
+    # frame delivery.  NOTE: with gop_chunk > pictures_pool_size and no
+    # consumer draining frames, the back-pressure engages INSIDE each
+    # chunk and serializes chunk N's execution with chunk N+1's dispatch
+    # — for throughput measurement with device-resident frames use
+    # pool=0 (unbounded) or pool >= 2*gop_chunk.
     pictures_pool_size: int = 10
     num_threads: int = 0          # 0 = auto (native tokenizer threads)
     reordering: bool = True

@@ -31,7 +31,8 @@ def main():
     from tiny_mp2v_dec_tpu.ops import recon as R
 
     data = make_bench_stream(N_PICTURES, os.path.join(_HERE, ".bench_cache"))
-    dec = MP2VDecoder(DecoderConfig(gop_chunk=16, output_host=False))
+    dec = MP2VDecoder(DecoderConfig(gop_chunk=16, output_host=False,
+                                pictures_pool_size=0))
 
     import bench
     bench.precompile_chunk_variants(dec, data)
