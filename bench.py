@@ -29,10 +29,11 @@ from bench_stream import make_bench_stream  # noqa: E402
 
 N_PICTURES = 64
 WARMUP = 2
-REPEATS = 16  # tunneled-device throughput swings 4-7x between windows
-              # (PROFILE_r05.json rep spread: 0.81-3.59 s in ONE run);
-              # best-of over more reps measures the machine, not the
-              # tunnel — the spread is recorded in the profile artifact
+REPEATS = 24  # tunneled-device throughput swings 4-7x between windows
+              # (and whole runs land in windows 1.4x apart: 202 vs 145
+              # fps for identical code, r5); best-of over more reps
+              # measures the machine, not the tunnel — the spread is
+              # recorded in the profile artifact
 
 
 def baseline_fps() -> float:
