@@ -224,20 +224,39 @@ def _fetch_pool():
     return _FETCH_POOL
 
 
+_VERIFIED_SNAPSHOT = None
+
+
+def _verified_snapshot_backend() -> bool:
+    """True only for clients VERIFIED to snapshot the host buffer inside
+    jnp.asarray/device_put (currently: the axon tunneled TPU client — 8/8
+    source-mutation trials never reached the device)."""
+    global _VERIFIED_SNAPSHOT
+    if _VERIFIED_SNAPSHOT is None:
+        try:
+            ver = jax.devices()[0].client.platform_version
+        except Exception:
+            ver = ""
+        _VERIFIED_SNAPSHOT = "axon" in ver
+    return _VERIFIED_SNAPSHOT
+
+
 def _slot_guard(outputs, uploaded):
     """What must be ready before a host staging slot may be rewritten.
 
     * cpu: the JAX CPU client ZERO-COPY ALIASES sufficiently small/aligned
       numpy arrays, so the *consuming computation's outputs* guard the slot.
-    * tpu: jnp.asarray/device_put snapshot the host buffer synchronously
-      (verified on the tunneled TPU client, 8/8 mutation trials) — no guard.
-    * anything else (gpu, plugins): not a verified-snapshot backend; hold
-      the uploaded device arrays so slot reuse waits for the h2d copy.
+    * verified-snapshot clients (axon tunnel): the upload returns after the
+      host data is captured — no guard (block_until_ready there costs a
+      full tunnel RTT, ~90 ms/chunk of pure added latency, the r4 finding).
+    * anything else (local TPU, gpu, plugins): hold the uploaded device
+      arrays so slot reuse waits for the h2d copy — on local transports
+      the copy is already done and the wait is free.
     """
     be = jax.default_backend()
     if be == "cpu":
         return outputs
-    if be == "tpu":
+    if _verified_snapshot_backend():
         return None
     return uploaded
 
