@@ -212,7 +212,11 @@ def _upload_pool():
     global _UPLOAD_POOL
     if _UPLOAD_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
-        _UPLOAD_POOL = ThreadPoolExecutor(max_workers=2)
+        # 4 workers: one decoder's split upload uses 2; two concurrent
+        # streams (serving/chip-capacity mode) would otherwise serialize
+        # behind each other's halves (transport measurements show 4-8
+        # concurrent streams sustain full bandwidth)
+        _UPLOAD_POOL = ThreadPoolExecutor(max_workers=4)
     return _UPLOAD_POOL
 
 
